@@ -1,0 +1,22 @@
+"""Test env: force CPU with 8 virtual devices (SURVEY §4d) before jax import."""
+
+import os
+
+# NOTE: this host pins JAX_PLATFORMS=axon (TPU plugin) and ignores an env
+# override, so force CPU via both the legacy env var and jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache makes repeated CPU test runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

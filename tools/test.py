@@ -1,0 +1,109 @@
+"""Evaluation CLI.
+
+Mirrors the reference entry surface (tools/test.py:96-145):
+  python tools/test.py <config> <checkpoint.npz> --backbone <converted.npz>
+                       [--max-images N] [--cfg-options ...]
+The --backbone flag is the LoadBackboneHook equivalent: the (adapter+head)
+checkpoint is merged with the converted frozen backbone at load time
+(rein/hooks/load_backbone_hook.py:6-22).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a vfmseg_tpu segmentor")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="trainable-partition checkpoint (.npz)")
+    p.add_argument("--backbone", default=None,
+                   help="converted backbone weights (.npz)")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--out", default=None, help="write metrics JSON here")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vfmseg_tpu.core.config import load_config
+    from vfmseg_tpu.core.registry import DATASETS
+    from vfmseg_tpu.data.transforms import TestPipeline
+    from vfmseg_tpu.eval.evaluator import evaluate, make_ms_predict_fn
+    from vfmseg_tpu.eval.metrics import IoUAccumulator
+    from vfmseg_tpu.models.build import build_segmentor
+    from vfmseg_tpu.train.checkpoint import load_pytree
+    from vfmseg_tpu.train.optim import merge_params
+
+    cfg = load_config(args.config, args.cfg_options)
+    dtype = jnp.bfloat16 if cfg.get_path("compute.dtype", "bfloat16") == "bfloat16" \
+        else jnp.float32
+    model = build_segmentor(cfg.model, dtype=dtype,
+                            attn_impl=cfg.get_path("compute.attn_impl", "auto"))
+
+    # init zeros then overlay checkpoint + backbone
+    crop_hw = tuple(cfg.get_path("crop_size", (1024, 1024)))
+    img0 = jnp.zeros((1,) + crop_hw + (3,), dtype)
+    lab0 = jnp.zeros((1,) + crop_hw, jnp.int32)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "crop": jax.random.PRNGKey(1),
+             "mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            img0, lab0))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = variables["params"]
+    if args.checkpoint:
+        params = merge_params(load_pytree(args.checkpoint)["t"], params)
+    if args.backbone:
+        params = merge_params({"backbone": load_pytree(args.backbone)}, params)
+    variables = dict(variables)
+    variables["params"] = params
+
+    test_sets = cfg.get_path("data.test") or cfg.get_path("data.val") or []
+    keys = [d.get("key", f"set{i}") for i, d in enumerate(test_sets)]
+    acc = IoUAccumulator(num_classes=cfg.get("num_classes", 19),
+                         dataset_keys=keys, mean_used_keys=keys)
+    wh = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
+    pipeline = TestPipeline(resize_scale_wh=wh)
+
+    for dset_cfg, key in zip(test_sets, keys):
+        dcfg = {k: v for k, v in dict(dset_cfg).items() if k != "key"}
+        dataset = DATASETS.build(dcfg)
+        print(f"evaluating {key}: {len(dataset)} images")
+        sample = dataset[0]
+        out_hw = sample["label"].shape if "label" in sample else (wh[1], wh[0])
+        predict = make_ms_predict_fn(model, cfg.get("test_cfg", {}), out_hw=out_hw)
+
+        def run_pipeline(img, label=None):
+            out = pipeline(img, label)
+            return out
+
+        for i in range(args.max_images or len(dataset)):
+            if i >= len(dataset):
+                break
+            raw = dataset[i]
+            proc = run_pipeline(raw["img"], raw.get("label"))
+            pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
+            acc.update(pred, proc["label"], key)
+
+    results = acc.compute()
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Training CLI.
+
+Mirrors the reference entry surface (tools/train.py:64-121):
+  python tools/train.py <config> [--work-dir D] [--resume]
+                        [--cfg-options k.path=v ...] [--amp]
+`--amp` maps to bf16 compute (native on TPU; reference used torch AMP,
+tools/train.py:87-102). Distributed launch flags are replaced by the jax
+mesh (all devices of the process are used for data parallelism).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a vfmseg_tpu segmentor")
+    p.add_argument("config", help="config name or path")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (default on TPU; kept for CLI parity)")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="dot-key overrides, e.g. optimizer.lr=3e-4")
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--backbone-init", default=None,
+                   help="converted backbone weights (.npz from tools/convert_*)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfmseg_tpu.core.config import load_config
+    from vfmseg_tpu.core.registry import DATASETS
+    from vfmseg_tpu.data.loader import InfiniteLoader
+    from vfmseg_tpu.data.transforms import TrainPipeline
+    from vfmseg_tpu.models.build import build_segmentor
+    from vfmseg_tpu.train import (
+        TrainState, make_optimizer, make_train_step, partition_params,
+        trainable_predicate,
+    )
+    from vfmseg_tpu.train.checkpoint import load_pytree
+    from vfmseg_tpu.train.loop import train_loop
+    from vfmseg_tpu.train.optim import merge_params
+
+    cfg = load_config(args.config, args.cfg_options)
+    work_dir = args.work_dir or os.path.join("work_dirs", cfg.get("name", "run"))
+    os.makedirs(work_dir, exist_ok=True)
+
+    dtype = jnp.bfloat16 if (
+        args.amp or cfg.get_path("compute.dtype", "bfloat16") == "bfloat16"
+    ) else jnp.float32
+    model = build_segmentor(cfg.model, dtype=dtype,
+                            attn_impl=cfg.get_path("compute.attn_impl", "auto"))
+
+    # ---- data -------------------------------------------------------
+    dcfg = cfg.data
+    source = DATASETS.build(dict(dcfg.source))
+    pipeline = TrainPipeline(**{k: tuple(v) if isinstance(v, list) else v
+                                for k, v in dict(dcfg.train_pipeline).items()})
+    dataset = DATASETS.get("DGDataset")(
+        source, pipeline,
+        rare_class_sampling=dcfg.get("rare_class_sampling"),
+        seed=cfg.get_path("schedule.seed", 0))
+    loader = InfiniteLoader(dataset, batch_size=dcfg.get("batch_size", 2),
+                            num_workers=dcfg.get("num_workers", 4),
+                            seed=cfg.get_path("schedule.seed", 0))
+
+    # ---- init -------------------------------------------------------
+    seed = cfg.get_path("schedule.seed", 0)
+    rng = jax.random.PRNGKey(seed)
+    crop_hw = tuple(cfg.get_path("data.train_pipeline.crop_size", (1024, 1024)))
+    img0 = jnp.zeros((dcfg.get("batch_size", 2),) + crop_hw + (3,), dtype)
+    lab0 = jnp.zeros((dcfg.get("batch_size", 2),) + crop_hw, jnp.int32)
+    variables = model.init(
+        {"params": rng, "crop": rng, "mask": rng, "dropout": rng}, img0, lab0)
+    params = variables["params"]
+
+    if args.backbone_init:
+        loaded = load_pytree(args.backbone_init)
+        params = merge_params({"backbone": loaded}, params)
+        print(f"loaded backbone weights from {args.backbone_init}")
+
+    peft = cfg.get("peft", {})
+    pred = trainable_predicate(
+        peft=peft.get("enabled", True),
+        adapter_keywords=tuple(peft.get("adapter_keywords", ("lora", "reins"))))
+    trainable, frozen = partition_params(params, pred)
+
+    ocfg = cfg.get("optimizer", {})
+    max_iters = args.max_iters or cfg.get_path("schedule.max_iters", 40000)
+    optimizer = make_optimizer(
+        trainable,
+        base_lr=ocfg.get("lr", 1e-4), weight_decay=ocfg.get("weight_decay", 0.05),
+        max_steps=max_iters, power=ocfg.get("poly_power", 0.9),
+        warmup_steps=ocfg.get("warmup_steps", 0),
+        betas=tuple(ocfg.get("betas", (0.9, 0.999))), eps=ocfg.get("eps", 1e-8))
+
+    n_train = sum(x.size for x in jax.tree_util.tree_leaves(trainable))
+    n_total = n_train + sum(x.size for x in jax.tree_util.tree_leaves(frozen))
+    print(f"trainable params: {n_train:,} / {n_total:,} "
+          f"({100.0 * n_train / n_total:.2f}%)")
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(trainable))
+
+    step_fn = make_train_step(model, optimizer)
+    sched = cfg.get("schedule", {})
+    train_loop(
+        state, step_fn, iter(loader), max_iters=max_iters, work_dir=work_dir,
+        rng=rng, log_interval=sched.get("log_interval", 50),
+        checkpoint_interval=sched.get("checkpoint_interval", 4000),
+        max_keep_ckpts=sched.get("max_keep_ckpts", 3),
+        resume=args.resume)
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Host-side data pipeline transforms (numpy, mmseg-equivalent semantics).
+
+Implements the reference's declared train pipeline
+(configs/_base_/datasets/gta_1024x1024.py:5-13): LoadImageFromFile ->
+LoadAnnotations -> Resize -> RandomCrop(cat_max_ratio=0.75) ->
+RandomFlip(0.5) -> PhotoMetricDistortion -> PackSegInputs, plus the
+SegDataPreProcessor normalization (mean/std RGB, pad to crop with 0/255 —
+configs/_base_/models/lora_dinov2_ms_masked.py:6-13).
+
+Design: label-dependent sampling (crop retries, RCS) stays on the host where
+it is I/O-bound anyway (SURVEY §7.3 RNG note); everything downstream of
+batching is static-shaped for the device. Images are RGB uint8 HWC; labels
+are uint8/int32 HW with 255 = ignore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IGNORE_INDEX = 255
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def load_image(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def load_label(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path), dtype=np.uint8)
+
+
+def resize_sample(img: np.ndarray, label: Optional[np.ndarray],
+                  scale_wh: Tuple[int, int], keep_ratio: bool = False):
+    """mmcv Resize: scale is (w, h); bilinear for image, nearest for label."""
+    w, h = scale_wh
+    if keep_ratio:
+        ih, iw = img.shape[:2]
+        ratio = min(w / iw, h / ih)
+        w, h = int(iw * ratio + 0.5), int(ih * ratio + 0.5)
+    pimg = Image.fromarray(img).resize((w, h), Image.BILINEAR)
+    img = np.asarray(pimg, dtype=np.uint8)
+    if label is not None:
+        plab = Image.fromarray(label).resize((w, h), Image.NEAREST)
+        label = np.asarray(plab, dtype=np.uint8)
+    return img, label
+
+
+def random_crop(img: np.ndarray, label: np.ndarray, crop_size: Tuple[int, int],
+                rng: np.random.Generator, cat_max_ratio: float = 1.0,
+                ignore_index: int = IGNORE_INDEX):
+    """mmseg RandomCrop: up to 10 retries until no class occupies more than
+    cat_max_ratio of the (non-ignored) crop."""
+    ch, cw = crop_size
+    h, w = label.shape
+
+    def _box():
+        y = rng.integers(0, max(h - ch, 0) + 1)
+        x = rng.integers(0, max(w - cw, 0) + 1)
+        return int(y), int(x)
+
+    y, x = _box()
+    if cat_max_ratio < 1.0:
+        for _ in range(10):
+            patch = label[y:y + ch, x:x + cw]
+            counts = np.bincount(patch.reshape(-1), minlength=256)
+            counts = np.delete(counts, ignore_index)
+            counts = counts[counts > 0]
+            if len(counts) > 1 and counts.max() / counts.sum() < cat_max_ratio:
+                break
+            y, x = _box()
+    return img[y:y + ch, x:x + cw], label[y:y + ch, x:x + cw]
+
+
+def random_flip(img: np.ndarray, label: np.ndarray, rng: np.random.Generator,
+                prob: float = 0.5):
+    if rng.random() < prob:
+        return img[:, ::-1], label[:, ::-1]
+    return img, label
+
+
+def _rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    return np.array(Image.fromarray(img).convert("HSV"), dtype=np.uint8)
+
+
+def _hsv_to_rgb(img: np.ndarray) -> np.ndarray:
+    return np.asarray(Image.fromarray(img, mode="HSV").convert("RGB"),
+                      dtype=np.uint8)
+
+
+def photometric_distortion(
+    img: np.ndarray, rng: np.random.Generator,
+    brightness_delta: float = 32, contrast_range=(0.5, 1.5),
+    saturation_range=(0.5, 1.5), hue_delta: int = 18,
+) -> np.ndarray:
+    """mmseg PhotoMetricDistortion: random brightness, contrast (random
+    order), saturation, hue — each applied with prob 0.5."""
+
+    def _convert(x, alpha=1.0, beta=0.0):
+        return np.clip(x.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+
+    if rng.integers(2):
+        img = _convert(img, beta=rng.uniform(-brightness_delta, brightness_delta))
+    contrast_first = bool(rng.integers(2))
+
+    def _contrast(x):
+        if rng.integers(2):
+            return _convert(x, alpha=rng.uniform(*contrast_range))
+        return x
+
+    if contrast_first:
+        img = _contrast(img)
+    if rng.integers(2):
+        hsv = _rgb_to_hsv(img)
+        hsv[..., 1] = _convert(hsv[..., 1], alpha=rng.uniform(*saturation_range))
+        img = _hsv_to_rgb(hsv)
+    if rng.integers(2):
+        hsv = _rgb_to_hsv(img)
+        delta = int(rng.uniform(-hue_delta, hue_delta))
+        # PIL HSV hue channel is 0..255 (mmcv/cv2 uses 0..179; scale delta)
+        delta_pil = int(round(delta * 255.0 / 180.0))
+        hsv[..., 0] = ((hsv[..., 0].astype(np.int32) + delta_pil) % 256).astype(np.uint8)
+        img = _hsv_to_rgb(hsv)
+    if not contrast_first:
+        img = _contrast(img)
+    return img
+
+
+def normalize_pad(img: np.ndarray, label: Optional[np.ndarray],
+                  size: Tuple[int, int],
+                  mean: np.ndarray = IMAGENET_MEAN,
+                  std: np.ndarray = IMAGENET_STD,
+                  pad_val: float = 0.0, seg_pad_val: int = IGNORE_INDEX):
+    """SegDataPreProcessor: (img - mean) / std, pad bottom-right to `size`."""
+    img = (img.astype(np.float32) - mean) / std
+    h, w = img.shape[:2]
+    th, tw = size
+    if (h, w) != (th, tw):
+        out = np.full((th, tw, 3), pad_val, np.float32)
+        out[:h, :w] = img[:th, :tw]
+        img = out
+        if label is not None:
+            lout = np.full((th, tw), seg_pad_val, label.dtype)
+            lout[:h, :w] = label[:th, :tw]
+            label = lout
+    return img, label
+
+
+@dataclasses.dataclass
+class TrainPipeline:
+    """The reference train pipeline for one (img, label) sample."""
+
+    resize_scale_wh: Tuple[int, int] = (2560, 1440)
+    crop_size: Tuple[int, int] = (1024, 1024)
+    cat_max_ratio: float = 0.75
+    flip_prob: float = 0.5
+    photometric: bool = True
+
+    def __call__(self, img: np.ndarray, label: np.ndarray,
+                 rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        img, label = resize_sample(img, label, self.resize_scale_wh)
+        img, label = random_crop(img, label, self.crop_size, rng,
+                                 self.cat_max_ratio)
+        img, label = random_flip(img, label, rng, self.flip_prob)
+        if self.photometric:
+            img = photometric_distortion(img, rng)
+        img, label = normalize_pad(np.ascontiguousarray(img),
+                                   np.ascontiguousarray(label), self.crop_size)
+        return {"img": img, "label": label.astype(np.int32)}
+
+
+@dataclasses.dataclass
+class TestPipeline:
+    """Resize-only eval pipeline (cityscapes_1024x1024.py:13-20)."""
+
+    resize_scale_wh: Optional[Tuple[int, int]] = (2048, 1024)
+    keep_ratio: bool = False
+
+    def __call__(self, img: np.ndarray,
+                 label: Optional[np.ndarray]) -> Dict[str, np.ndarray]:
+        orig_label = label
+        if self.resize_scale_wh is not None:
+            img, _ = resize_sample(img, None, self.resize_scale_wh,
+                                   self.keep_ratio)
+        img = (img.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+        out = {"img": img}
+        if orig_label is not None:
+            # mIoU is computed at the ORIGINAL label resolution (mmseg
+            # resizes predictions back in postprocess)
+            out["label"] = orig_label.astype(np.int32)
+        return out

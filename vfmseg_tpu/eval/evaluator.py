@@ -1,0 +1,85 @@
+"""End-to-end evaluation driver: dataset -> two-stage inference -> mIoU.
+
+The functional analogue of the reference TestLoop (SURVEY §3.2): per image,
+run the configured inference mode, argmax at full label resolution, stream
+intersect/union into the per-dataset accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfmseg_tpu.eval.metrics import IoUAccumulator
+from vfmseg_tpu.eval.slide import ms_slide_inference, slide_inference
+from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
+from vfmseg_tpu.ops.resize import resize
+
+
+def make_ms_predict_fn(model: MsVFMSegmentor, test_cfg: Dict,
+                       out_hw: Tuple[int, int]):
+    """Jitted [B,H,W,3] -> [B,out_h,out_w] class map via ms_slide_inference.
+
+    out_hw: the original label resolution logits are resized back to before
+    argmax (mmseg postprocess_result semantics).
+    """
+
+    @jax.jit
+    def predict(variables, img):
+        def lr_fn(x):
+            return model.apply(variables, x, method=MsVFMSegmentor.lr_forward)
+
+        def hr_fn(crops, ctx):
+            return model.apply(variables, crops, ctx, False, False,
+                               method=MsVFMSegmentor.hr_forward)
+
+        logits = ms_slide_inference(
+            lr_fn, hr_fn, img,
+            crop=tuple(test_cfg.get("crop_size", (512, 512))),
+            stride=tuple(test_cfg.get("stride", (320, 320))),
+            lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
+            threshold=test_cfg.get("threshold", 0.968),
+            conf=test_cfg.get("conf", 0.8),
+        )
+        logits = resize(logits, size=out_hw, method="bilinear")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def make_whole_predict_fn(model, out_hw: Tuple[int, int]):
+    @jax.jit
+    def predict(variables, img):
+        logits = model.apply(variables, img, method=type(model).encode_decode)
+        logits = resize(logits, size=out_hw, method="bilinear")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def evaluate(
+    predict_fn, variables, dataset, *,
+    num_classes: int = 19,
+    dataset_key: str = "default",
+    accumulator: Optional[IoUAccumulator] = None,
+    pipeline=None,
+    max_images: Optional[int] = None,
+    progress_every: int = 50,
+    log=print,
+) -> IoUAccumulator:
+    acc = accumulator or IoUAccumulator(num_classes=num_classes,
+                                        dataset_keys=[dataset_key])
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    for i in range(n):
+        raw = dataset[i] if pipeline is None else pipeline(
+            **{k: v for k, v in dataset[i].items() if k in ("img", "label")})
+        img = jnp.asarray(raw["img"])[None]
+        pred = predict_fn(variables, img)[0]
+        acc.update(pred, raw["label"], raw.get("seg_map_path", dataset_key))
+        if progress_every and (i + 1) % progress_every == 0:
+            log(f"eval {i + 1}/{n}")
+    return acc

@@ -1,0 +1,128 @@
+"""Batched sliding-window inference.
+
+The reference iterates crops in Python, one full ViT forward per
+low-confidence crop (Ms_VFM_encoder_decoder.py:424-461). TPU-native design
+(SURVEY §5.7): the crop grid is static per (image size, crop, stride), so all
+crops are extracted into one batch and run as a single large ViT call — the
+MXU sees batch G*B instead of G sequential launches — and overlap-averaging
+is a static scatter-add. The data-dependent confidence gate (:446-452)
+becomes compute-all + select: every crop is refined, and the gate chooses
+between refined logits and the stage-1 context per crop (bitwise-identical
+outputs to the reference's skip since skipped crops contribute `context`).
+
+All functions take `logits_fn`-style callables so they work with any
+segmentor; everything is jit-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vfmseg_tpu.ops.resize import resize
+
+
+def compute_slide_grid(img_hw: Tuple[int, int], crop: Tuple[int, int],
+                       stride: Tuple[int, int]) -> List[Tuple[int, int]]:
+    """Static (y1, x1) crop origins — mmseg slide grid (reference :424-440)."""
+    h, w = img_hw
+    ch, cw = crop
+    sh, sw = stride
+    h_grids = max(h - ch + sh - 1, 0) // sh + 1
+    w_grids = max(w - cw + sw - 1, 0) // sw + 1
+    boxes = []
+    for hi in range(h_grids):
+        for wi in range(w_grids):
+            y2 = min(hi * sh + ch, h)
+            x2 = min(wi * sw + cw, w)
+            boxes.append((max(y2 - ch, 0), max(x2 - cw, 0)))
+    return boxes
+
+
+def extract_crops(x: jax.Array, boxes: Sequence[Tuple[int, int]],
+                  crop: Tuple[int, int]) -> jax.Array:
+    """[B,H,W,C] -> [G*B, ch, cw, C] crop batch (static slices)."""
+    ch, cw = crop
+    crops = [x[:, y1:y1 + ch, x1:x1 + cw] for (y1, x1) in boxes]
+    return jnp.concatenate(crops, axis=0)
+
+
+def accumulate_crops(crop_logits: jax.Array, boxes: Sequence[Tuple[int, int]],
+                     out_hw: Tuple[int, int]) -> jax.Array:
+    """Overlap-average [G*B, ch, cw, C] crop logits into [B, H, W, C]."""
+    g = len(boxes)
+    b = crop_logits.shape[0] // g
+    ch, cw, c = crop_logits.shape[1:]
+    preds = jnp.zeros((b, out_hw[0], out_hw[1], c), dtype=jnp.float32)
+    count = jnp.zeros((b, out_hw[0], out_hw[1], 1), dtype=jnp.float32)
+    for i, (y1, x1) in enumerate(boxes):
+        piece = crop_logits[i * b:(i + 1) * b].astype(jnp.float32)
+        preds = preds.at[:, y1:y1 + ch, x1:x1 + cw].add(piece)
+        count = count.at[:, y1:y1 + ch, x1:x1 + cw].add(1.0)
+    return preds / count
+
+
+def whole_inference(logits_fn: Callable[[jax.Array], jax.Array],
+                    img: jax.Array) -> jax.Array:
+    """Single full-image forward; logits_fn must return input-sized logits."""
+    return logits_fn(img)
+
+
+def slide_inference(logits_fn: Callable[[jax.Array], jax.Array],
+                    img: jax.Array, crop: Tuple[int, int],
+                    stride: Tuple[int, int]) -> jax.Array:
+    """mmseg slide_inference, batched: one model call over all crops."""
+    boxes = compute_slide_grid(img.shape[1:3], crop, stride)
+    crops = extract_crops(img, boxes, crop)
+    crop_logits = logits_fn(crops)
+    return accumulate_crops(crop_logits, boxes, img.shape[1:3])
+
+
+def ms_slide_inference(
+    lr_logits_fn: Callable[[jax.Array], jax.Array],
+    hr_logits_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    img: jax.Array,
+    *,
+    crop: Tuple[int, int] = (512, 512),
+    stride: Tuple[int, int] = (320, 320),
+    lr_size: Tuple[int, int] = (512, 1024),
+    threshold: float = 0.968,
+    conf: float = 0.8,
+    align_corners: bool = False,
+) -> jax.Array:
+    """Two-stage coarse-to-fine inference (ms_inference, reference :400-466).
+
+    Stage 1: whole-image pass at `lr_size`, upsampled to full resolution.
+    Stage 2: slide `crop` windows at `stride`; per window, if the fraction of
+    pixels whose max softmax exceeds `threshold` is >= `conf`, reuse the
+    stage-1 context, else refine with the context-conditioned head. All
+    windows are refined in ONE batched call; the gate selects per window.
+    """
+    h, w = img.shape[1], img.shape[2]
+
+    # ---- stage 1: coarse whole-image context -------------------------
+    lr_img = resize(img, size=lr_size, method="bilinear",
+                    align_corners=align_corners)
+    lr_logits = lr_logits_fn(lr_img)
+    full_logits = resize(lr_logits, size=(h, w), method="bilinear",
+                         align_corners=align_corners)
+
+    # ---- stage 2: confidence-gated batched refinement -----------------
+    boxes = compute_slide_grid((h, w), crop, stride)
+    g, b = len(boxes), img.shape[0]
+    img_crops = extract_crops(img, boxes, crop)            # [G*B, ch, cw, 3]
+    ctx_crops = extract_crops(full_logits, boxes, crop)    # [G*B, ch, cw, C]
+
+    probs = jax.nn.softmax(ctx_crops.astype(jnp.float32), axis=-1)
+    confidence = jnp.mean(
+        (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32), axis=(1, 2)
+    )  # [G*B]
+    needs_refine = confidence < conf
+
+    refined = hr_logits_fn(img_crops, ctx_crops)           # [G*B, ch, cw, C]
+    sel = jnp.where(needs_refine[:, None, None, None], refined, ctx_crops)
+    del g, b
+    return accumulate_crops(sel, boxes, (h, w))

@@ -1,0 +1,48 @@
+"""Plain encoder-decoder segmentor (backbone + decode head).
+
+The functional analogue of mmseg's EncoderDecoder as used by the reference's
+frozen/linear configs (SURVEY §2.5). Training losses and sliding-window
+orchestration live outside the module (train/step.py, eval/slide.py); the
+module only defines pure forward passes over the parameter tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vfmseg_tpu.models.losses import cross_entropy_loss, seg_accuracy
+from vfmseg_tpu.ops.resize import resize
+
+
+class EncoderDecoder(nn.Module):
+    backbone: nn.Module
+    decode_head: nn.Module
+    align_corners: bool = False
+
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        """Forward to head logits at the head's native stride (NHWC)."""
+        feats = self.backbone(img, deterministic=not train)
+        if isinstance(feats, tuple) and len(feats) == 2 and not hasattr(feats[0], "shape"):
+            feats, _queries = feats  # Rein backbones also return queries
+        return self.decode_head(feats, train=train)
+
+    def encode_decode(self, img: jax.Array, train: bool = False) -> jax.Array:
+        """Logits resized to the input resolution (mmseg encode_decode)."""
+        logits = self(img, train=train)
+        return resize(logits, size=img.shape[1:3], method="bilinear",
+                      align_corners=self.align_corners)
+
+    def loss(self, img: jax.Array, labels: jax.Array, train: bool = True):
+        """CE + accuracy vs labels at label resolution (linear_head.py:72-113)."""
+        logits = self(img, train=train)
+        logits = resize(logits, size=labels.shape[1:3], method="bilinear",
+                        align_corners=self.align_corners)
+        losses = {
+            "decode.loss_ce": cross_entropy_loss(logits, labels),
+            "decode.acc_seg": seg_accuracy(logits, labels),
+        }
+        return losses

@@ -1,0 +1,151 @@
+"""Image resize ops with reference (PyTorch F.interpolate) semantics.
+
+mIoU parity with the reference requires matching its resize conventions
+(SURVEY §7.3): the reference resizes images/logits with bilinear
+align_corners=False (rein/utils/wrappers.py, mmseg resize), interpolates
+position embeddings with *bicubic* (dino_v2.py:200-206 — PyTorch bicubic uses
+the Keys kernel with a = -0.75, unlike jax.image.resize's a = -0.5), and
+downsamples ground truth with 'nearest' (Ms_VFM_encoder_decoder.py:148-153 —
+PyTorch nearest uses the asymmetric floor(dst*in/out) mapping).
+
+Everything here operates on NHWC (or [B,H,W] for labels) with static shapes;
+the separable interpolation-matrix path turns resize into two small matmuls,
+which the MXU eats for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool,
+                   scale: Optional[float]) -> np.ndarray:
+    """Map output pixel index -> continuous source coordinate (torch rules)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            return np.zeros_like(dst)
+        return dst * (in_size - 1) / (out_size - 1)
+    if scale is not None:
+        # torch with explicit scale_factor (recompute_scale_factor unset)
+        return (dst + 0.5) / scale - 0.5
+    return (dst + 0.5) * in_size / out_size - 0.5
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic kernel weights for fractional offsets t in [0,1): 4 taps."""
+    # taps at offsets (-1-t and mirrored): distances |x| for x in {1+t, t, 1-t, 2-t}
+    d = np.stack([1.0 + t, t, 1.0 - t, 2.0 - t], axis=-1)
+    absd = np.abs(d)
+    w = np.where(
+        absd <= 1.0,
+        (a + 2.0) * absd**3 - (a + 3.0) * absd**2 + 1.0,
+        a * absd**3 - 5.0 * a * absd**2 + 8.0 * a * absd - 4.0 * a,
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, method: str,
+                   align_corners: bool, scale: Optional[float]) -> np.ndarray:
+    """[out_size, in_size] separable interpolation matrix (torch semantics)."""
+    src = _source_coords(out_size, in_size, align_corners, scale)
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    if method == "bilinear":
+        src_c = np.clip(src, 0.0, in_size - 1)
+        lo = np.floor(src_c).astype(np.int64)
+        hi = np.minimum(lo + 1, in_size - 1)
+        frac = src_c - lo
+        rows = np.arange(out_size)
+        np.add.at(mat, (rows, lo), (1.0 - frac).astype(np.float32))
+        np.add.at(mat, (rows, hi), frac.astype(np.float32))
+    elif method == "bicubic":
+        # torch clamps the *base* index computation but sums 4 taps with
+        # edge-replicated indices
+        lo = np.floor(src).astype(np.int64)
+        frac = src - lo
+        w = _cubic_weights(frac)  # [out, 4]
+        rows = np.arange(out_size)
+        for tap in range(4):
+            idx = np.clip(lo - 1 + tap, 0, in_size - 1)
+            np.add.at(mat, (rows, idx), w[:, tap].astype(np.float32))
+    else:
+        raise ValueError(f"unsupported method {method!r}")
+    return mat
+
+
+def _apply_separable(x: jax.Array, out_hw: Tuple[int, int], method: str,
+                     align_corners: bool,
+                     scales: Tuple[Optional[float], Optional[float]]) -> jax.Array:
+    """x: [..., H, W, C] -> [..., H', W', C] via two matmuls."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    wh = jnp.asarray(_interp_matrix(h, oh, method, align_corners, scales[0]))
+    ww = jnp.asarray(_interp_matrix(w, ow, method, align_corners, scales[1]))
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = jnp.einsum("oh,...hwc->...owc", wh, xf)
+    xf = jnp.einsum("ow,...hwc->...hoc", ww, xf)
+    return xf.astype(dtype)
+
+
+def resize(
+    x: jax.Array,
+    size: Optional[Sequence[int]] = None,
+    scale_factor: Optional[float] = None,
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jax.Array:
+    """Torch-parity resize of NHWC (or [H,W,C] / any leading dims) tensors.
+
+    Mirrors the reference's mmseg/torch `resize` wrapper
+    (rein/utils/wrappers.py:10-28): exactly one of size/scale_factor given;
+    with scale_factor the output size is floor(in * s) and source coordinates
+    use the *provided* scale (torch recompute_scale_factor=False behavior).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    scales: Tuple[Optional[float], Optional[float]] = (None, None)
+    if size is not None:
+        oh, ow = int(size[0]), int(size[1])
+    elif scale_factor is not None:
+        oh, ow = int(h * scale_factor), int(w * scale_factor)
+        scales = (float(scale_factor), float(scale_factor))
+    else:
+        raise ValueError("resize needs size or scale_factor")
+    if (oh, ow) == (h, w):
+        return x
+    if method == "nearest":
+        return _nearest(x, (oh, ow))
+    return _apply_separable(x, (oh, ow), method, align_corners, scales)
+
+
+def _nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Torch 'nearest': src = floor(dst * in / out) (asymmetric mapping)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    ih = np.floor(np.arange(oh) * h / oh).astype(np.int32)
+    iw = np.floor(np.arange(ow) * w / ow).astype(np.int32)
+    x = jnp.take(x, jnp.asarray(ih), axis=-3)
+    x = jnp.take(x, jnp.asarray(iw), axis=-2)
+    return x
+
+
+def nearest_downsample_2x(labels: jax.Array) -> jax.Array:
+    """Exact torch-nearest 0.5x downsample of [B, H, W] integer labels.
+
+    torch F.interpolate(mode='nearest', scale_factor=0.5) picks source index
+    floor(dst*2) = the even rows/cols (Ms_VFM_encoder_decoder.py:148-153).
+    """
+    return labels[..., ::2, ::2]
+
+
+def resize_labels(labels: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-resize [B, H, W] integer labels to `size` (torch mapping)."""
+    x = labels[..., None]
+    x = _nearest(x, size)
+    return x[..., 0]

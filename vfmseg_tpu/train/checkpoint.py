@@ -1,0 +1,103 @@
+"""Checkpointing: periodic save / resume / adapter-only checkpoints.
+
+Reference behavior to match (SURVEY §5.4): CheckpointHook every 4k iters
+keep 3; Rein/LoRA runs checkpoint only adapters+head (reins_dinov2.py:42-49);
+at load time the frozen converted backbone is re-injected
+(load_backbone_hook.py:11-22, generate_full_weights.py:36-44). Our TrainState
+already splits {trainable, frozen}: a "light" checkpoint stores the trainable
+partition (adapters + heads) + opt state; `compose_full_params` re-merges the
+converted backbone for inference.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from vfmseg_tpu.train.optim import merge_params
+from vfmseg_tpu.train.state import TrainState
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree) -> None:
+    """Save a pytree of arrays as an .npz with '/'-joined path keys."""
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(tree).items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str):
+    data = np.load(path, allow_pickle=False)
+    return unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+
+
+class CheckpointManager:
+    """Iteration-numbered checkpoints with max_keep pruning + resume."""
+
+    def __init__(self, work_dir: str, max_keep: int = 3):
+        self.dir = os.path.join(work_dir, "checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+        self.max_keep = max_keep
+
+    def _path(self, step: int, part: str) -> str:
+        return os.path.join(self.dir, f"iter_{step:07d}.{part}.npz")
+
+    def save(self, state: TrainState, *, light: bool = True) -> None:
+        step = int(state.step)
+        save_pytree(self._path(step, "trainable"), {"t": state.trainable})
+        if state.batch_stats:
+            save_pytree(self._path(step, "batch_stats"), {"b": state.batch_stats})
+        if not light:
+            save_pytree(self._path(step, "frozen"), {"f": state.frozen})
+        self._prune()
+
+    def latest_step(self) -> Optional[int]:
+        steps = set()
+        for f in os.listdir(self.dir):
+            m = re.match(r"iter_(\d+)\.trainable\.npz", f)
+            if m:
+                steps.add(int(m.group(1)))
+        return max(steps) if steps else None
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return state
+        trainable = load_pytree(self._path(step, "trainable"))["t"]
+        bs_path = self._path(step, "batch_stats")
+        batch_stats = (
+            load_pytree(bs_path)["b"] if os.path.exists(bs_path)
+            else state.batch_stats)
+        frozen = state.frozen
+        fpath = self._path(step, "frozen")
+        if os.path.exists(fpath):
+            frozen = load_pytree(fpath)["f"]
+        return state.replace(
+            step=jax.numpy.asarray(step, jax.numpy.int32),
+            trainable=trainable, frozen=frozen, batch_stats=batch_stats)
+
+    def _prune(self) -> None:
+        steps = sorted({
+            int(m.group(1))
+            for f in os.listdir(self.dir)
+            if (m := re.match(r"iter_(\d+)\.", f))
+        })
+        for s in steps[:-self.max_keep] if self.max_keep else []:
+            for f in os.listdir(self.dir):
+                if f.startswith(f"iter_{s:07d}."):
+                    os.remove(os.path.join(self.dir, f))
+
+
+def compose_full_params(adapter_ckpt_path: str, backbone_params) -> Any:
+    """LoadBackboneHook equivalent: merge an adapter-only checkpoint with a
+    converted backbone param tree into full inference params."""
+    trainable = load_pytree(adapter_ckpt_path)["t"]
+    return merge_params(trainable, {"backbone": backbone_params})

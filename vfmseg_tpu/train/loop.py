@@ -1,0 +1,85 @@
+"""Training loop: iteration-based, with periodic val + checkpointing.
+
+Replaces mmengine IterBasedTrainLoop + hooks (SURVEY §1 L2): logging every
+`log_interval`, checkpoint every `checkpoint_interval` (keep max_keep),
+validation every `val_interval`, resume from latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfmseg_tpu.train.checkpoint import CheckpointManager
+from vfmseg_tpu.train.state import TrainState
+
+
+class MetricLogger:
+    """JSONL + console logger (the TensorboardVisBackend analogue that needs
+    no external deps; files are greppable/plottable)."""
+
+    def __init__(self, work_dir: str, log=print):
+        os.makedirs(work_dir, exist_ok=True)
+        self.path = os.path.join(work_dir, "metrics.jsonl")
+        self.log = log
+
+    def write(self, step: int, metrics: Dict, prefix: str = "train"):
+        rec = {"step": step, "prefix": prefix}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        pretty = " ".join(f"{k}={rec[k]:.4g}" if isinstance(rec[k], float)
+                          else f"{k}={rec[k]}" for k in sorted(rec)
+                          if k not in ("step", "prefix"))
+        self.log(f"[{prefix}] iter {step}: {pretty}")
+
+
+def train_loop(
+    state: TrainState,
+    step_fn: Callable,
+    data_iter: Iterable,
+    *,
+    max_iters: int,
+    work_dir: str,
+    rng: jax.Array,
+    log_interval: int = 50,
+    checkpoint_interval: int = 4000,
+    max_keep_ckpts: int = 3,
+    val_interval: int = 0,
+    val_fn: Optional[Callable] = None,
+    resume: bool = False,
+) -> TrainState:
+    ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
+    logger = MetricLogger(work_dir)
+    if resume:
+        state = ckpt.restore(state)
+
+    start = int(state.step)
+    t0 = time.time()
+    window = max(log_interval, 1)
+    for it in range(start, max_iters):
+        batch = next(data_iter)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch, rng)
+        if (it + 1) % window == 0:
+            steps_per_s = window / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            metrics["steps_per_sec"] = steps_per_s
+            logger.write(it + 1, metrics)
+        if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+            ckpt.save(state)
+        if val_interval and val_fn is not None and (it + 1) % val_interval == 0:
+            results = val_fn(state)
+            logger.write(it + 1, results, prefix="val")
+    return state
