@@ -42,6 +42,7 @@ def build_dinov2(
     dtype: Any = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    resize_feat: bool = False,
     **_unused,
 ) -> VisionTransformer:
     del block_chunks
@@ -65,6 +66,7 @@ def build_dinov2(
         final_norm=False,
         attn_impl=attn_impl,
         remat=remat,
+        resize_feat=resize_feat,
         dtype=dtype,
     )
     return VisionTransformer(cfg=cfg, lora=lora, reins=reins)
@@ -75,12 +77,16 @@ def build_lora_backbone(backbone: dict, Lora_config: dict, checkpoint: str = "",
                         **extra) -> VisionTransformer:
     """Reference LoRABackbone (lora_backbone.py:12-24): wrap an inner backbone
     with LoRA on target linears. Checkpoint loading is handled by the weight
-    tooling (tools/convert_*), not at build time."""
+    tooling (tools/convert_*), not at build time. Reference per-backbone
+    target names (out_proj / mlp.c_fc / attn.proj / ...) are normalized to
+    the unified ViT's module names."""
+    from vfmseg_tpu.models.backbones.clip import normalize_lora_targets
+
     lora = LoRASpec(
         rank=Lora_config.get("r", 0),
         alpha=Lora_config.get("lora_alpha", 1.0),
         dropout=Lora_config.get("lora_dropout", 0.0),
-        targets=tuple(Lora_config.get("target_modules", ())),
+        targets=normalize_lora_targets(Lora_config.get("target_modules", ())),
     )
     cfg = dict(backbone)
     cfg.update(extra)

@@ -48,17 +48,47 @@ class ViTConfig:
     qkv_bias: bool = True
     proj_bias: bool = True
     ffn_bias: bool = True
-    ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    # FFN family: "mlp" (DINOv2/CLIP), "swiglu" (DINOv2-g fused w12),
+    # "swiglu_eva" (EVA02: w1/w2 + sub-LN + w3, eva_02.py:204-242)
+    ffn_layer: str = "mlp"
+    # "gelu" exact (DINOv2/EVA) or "quick_gelu" x*sigmoid(1.702x) (CLIP,
+    # clip.py:18-20)
+    ffn_act: str = "gelu"
+    # CLIP-style stem: ln_pre after pos-add (clip.py:210,345-347) and the
+    # class-embedding quirk where pos[0] gets class_embedding added again
+    # (clip.py:330-341)
+    pre_norm: bool = False
+    cls_style: str = "token"  # "token" | "clip_embed"
+    pos_interp: str = "bicubic"  # pos-embed resize kernel at off-size
+    patch_embed_bias: bool = True  # CLIP conv1 has no bias (clip.py:195-201)
     init_values: Optional[float] = 1e-5  # LayerScale; None disables
     drop_path_rate: float = 0.0
     ln_eps: float = 1e-6
     num_cls_tokens: int = 1  # 0 => no cls token (SAM)
-    pos_embed: str = "learned"  # "learned" (cls+grid, bicubic interp) | "none"
+    # "learned": cls+grid with bicubic interp at off-size (dino_v2.py:184-215)
+    # "learned_2d": grid-only [gh, gw, C] (SAM); "none": RoPE-only
+    pos_embed: str = "learned"
     final_norm: bool = False  # DINOv2 collects pre-norm features
+    # attention family: "fused" (single qkv linear) or "split_subln"
+    # (EVA02 sub-LN: separate q/k/v projections, k without bias,
+    # eva_02.py:271-283,336-346)
+    attn_type: str = "fused"
+    qk_scale: Optional[float] = None
+    # EVA02 2D rotary embedding on q/k patch tokens (eva_02.py:119-161)
+    use_rope: bool = False
+    rope_pt_seq_len: int = 16
+    rope_intp_freq: bool = True
     # SAM-style windowed attention: window size and the block indices that
     # attend globally (sam_vit.py:111-125). None disables windowing.
     window_size: Optional[int] = None
     global_attn_indexes: Tuple[int, ...] = ()
+    # SAM decomposed relative position attention (sam_vit.py:392-432);
+    # global blocks size their tables by the pretrain grid (1024/16 = 64)
+    use_rel_pos: bool = False
+    rel_pos_pretrain_extent: int = 64
+    # fake a 4-scale pyramid from the /16 maps: x4, x2, x1, x0.5 bilinear
+    # (dino_v2.py:332-355, reins_eva_02.py:40-48) — used by Mask2Former heads
+    resize_feat: bool = False
     attn_impl: str = "auto"
     remat: bool = False
     dtype: Any = jnp.float32
@@ -68,16 +98,20 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     use_bias: bool = True
+    act: str = "gelu"
+    lora: Optional[LoRASpec] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
-                     name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, use_bias=self.use_bias, dtype=self.dtype,
-                     name="fc2")(x)
-        return x
+    def __call__(self, x, deterministic: bool = True):
+        x = make_dense("fc1", self.hidden, self.use_bias, self.lora, self.dtype)(
+            x, deterministic=deterministic)
+        if self.act == "quick_gelu":
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
+        return make_dense("fc2", self.out, self.use_bias, self.lora, self.dtype)(
+            x, deterministic=deterministic)
 
 
 class SwiGLU(nn.Module):
@@ -97,29 +131,88 @@ class SwiGLU(nn.Module):
                         name="w3")(nn.silu(x1) * x2)
 
 
-class Attention(nn.Module):
-    """MHA with fused qkv (DINOv2 layout) and optional LoRA on qkv/proj."""
+class SwiGLUEva(nn.Module):
+    """EVA02 SwiGLU: silu(w1 x) * (w2 x) -> sub-LN -> w3 (eva_02.py:204-242)."""
 
-    dim: int
-    num_heads: int
-    qkv_bias: bool = True
-    proj_bias: bool = True
-    lora: Optional[LoRASpec] = None
-    attn_impl: str = "auto"
+    hidden: int
+    out: int
+    ln_eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x):
+        x1 = nn.Dense(self.hidden, dtype=self.dtype, name="w1")(x)
+        x2 = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(x)
+        h = nn.silu(x1) * x2
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ffn_ln")(h)
+        return nn.Dense(self.out, dtype=self.dtype, name="w3")(h)
+
+
+class Attention(nn.Module):
+    """MHA: fused qkv (DINOv2) or split q/k/v with sub-LN conventions
+    (EVA02), optional 2D RoPE on patch tokens, optional LoRA overlays."""
+
+    cfg: ViTConfig
+    lora: Optional[LoRASpec] = None
+    # rel-pos table length (2*extent-1); SAM global blocks carry the
+    # pretrain-grid-sized table (sam_vit.py:260-275)
+    rel_pos_len: int = 0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 rope_cs: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 hw: Optional[Tuple[int, int]] = None):
+        cfg = self.cfg
         b, n, c = x.shape
-        head_dim = self.dim // self.num_heads
-        qkv = make_dense("qkv", 3 * self.dim, self.qkv_bias, self.lora, self.dtype)(
-            x, deterministic=deterministic
-        )
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        dim = cfg.embed_dim
+        head_dim = dim // cfg.num_heads
+        if cfg.attn_type == "fused":
+            qkv = make_dense("qkv", 3 * dim, cfg.qkv_bias, self.lora, cfg.dtype)(
+                x, deterministic=deterministic)
+            qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        elif cfg.attn_type == "split_subln":
+            # EVA02: q and v carry biases, k does not (eva_02.py:271-283)
+            q = make_dense("q_proj", dim, cfg.qkv_bias, self.lora, cfg.dtype)(
+                x, deterministic=deterministic)
+            k = make_dense("k_proj", dim, False, self.lora, cfg.dtype)(
+                x, deterministic=deterministic)
+            v = make_dense("v_proj", dim, cfg.qkv_bias, self.lora, cfg.dtype)(
+                x, deterministic=deterministic)
+            q, k, v = (t.reshape(b, n, cfg.num_heads, head_dim) for t in (q, k, v))
+        else:
+            raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
+
+        if rope_cs is not None:
+            # rotate patch tokens only; cls tokens bypass (eva_02.py:362-369)
+            p = cfg.num_cls_tokens
+            cos = rope_cs[0].astype(q.dtype)[:, None, :]
+            sin = rope_cs[1].astype(q.dtype)[:, None, :]
+            from vfmseg_tpu.ops.rope import rotate_half
+
+            def rot(t):
+                tp = t[:, p:]
+                tp = tp * cos + rotate_half(tp) * sin
+                return jnp.concatenate([t[:, :p], tp], axis=1) if p else tp
+
+            q, k = rot(q), rot(k)
+
+        bias = None
+        if cfg.use_rel_pos:
+            from vfmseg_tpu.ops.window import decomposed_rel_pos_bias
+
+            head_dim_ = cfg.embed_dim // cfg.num_heads
+            rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                                   (self.rel_pos_len, head_dim_))
+            rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                                   (self.rel_pos_len, head_dim_))
+            bias = decomposed_rel_pos_bias(
+                q, rel_pos_h.astype(cfg.dtype), rel_pos_w.astype(cfg.dtype), hw)
+
+        out = multi_head_attention(q, k, v, scale=cfg.qk_scale, bias=bias,
+                                   impl=cfg.attn_impl)
         out = out.reshape(b, n, c)
-        return make_dense("proj", self.dim, self.proj_bias, self.lora, self.dtype)(
+        return make_dense("proj", dim, cfg.proj_bias, self.lora, cfg.dtype)(
             out, deterministic=deterministic
         )
 
@@ -152,9 +245,12 @@ class Block(nn.Module):
     cfg: ViTConfig
     drop_path_rate: float = 0.0
     lora: Optional[LoRASpec] = None
+    window_size: int = 0  # SAM windowed block (0 = global)
+    rel_pos_pretrain_extent: int = 0  # grid size of pretrained rel-pos table
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, rope_cs=None,
+                 hw: Optional[Tuple[int, int]] = None):
         cfg = self.cfg
 
         def _residual(branch):
@@ -163,12 +259,29 @@ class Block(nn.Module):
             rng = self.make_rng("dropout")
             return drop_path(branch, self.drop_path_rate, deterministic, rng)
 
+        rel_pos_len = 0
+        if cfg.use_rel_pos:
+            extent = self.window_size or self.rel_pos_pretrain_extent
+            rel_pos_len = 2 * extent - 1
+
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x)
-        h = Attention(
-            dim=cfg.embed_dim, num_heads=cfg.num_heads, qkv_bias=cfg.qkv_bias,
-            proj_bias=cfg.proj_bias, lora=self.lora, attn_impl=cfg.attn_impl,
-            dtype=cfg.dtype, name="attn",
-        )(h, deterministic=deterministic)
+        attn = Attention(cfg=cfg, lora=self.lora, rel_pos_len=rel_pos_len,
+                         name="attn")
+        if self.window_size:
+            # partition around attention only (sam_vit.py:201-215)
+            from vfmseg_tpu.ops.window import window_partition, window_unpartition
+
+            b, n, c = h.shape
+            gh, gw = hw
+            ws = self.window_size
+            h2d, pad_hw = window_partition(h.reshape(b, gh, gw, c), ws)
+            hseq = h2d.reshape(-1, ws * ws, c)
+            hseq = attn(hseq, deterministic=deterministic, hw=(ws, ws))
+            h2d = window_unpartition(hseq.reshape(-1, ws, ws, c), ws, pad_hw,
+                                     (gh, gw))
+            h = h2d.reshape(b, gh * gw, c)
+        else:
+            h = attn(h, deterministic=deterministic, rope_cs=rope_cs, hw=hw)
         if cfg.init_values is not None:
             h = LayerScale(cfg.embed_dim, cfg.init_values, cfg.dtype, name="ls1")(h)
         x = x + _residual(h)
@@ -176,11 +289,15 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm2")(x)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.ffn_layer == "mlp":
-            h = Mlp(hidden, cfg.embed_dim, cfg.ffn_bias, cfg.dtype, name="mlp")(h)
+            h = Mlp(hidden, cfg.embed_dim, cfg.ffn_bias, cfg.ffn_act,
+                    self.lora, cfg.dtype, name="mlp")(h, deterministic)
         elif cfg.ffn_layer == "swiglu":
             swiglu_hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
             h = SwiGLU(swiglu_hidden, cfg.embed_dim, cfg.ffn_bias, cfg.dtype,
                        name="mlp")(h)
+        elif cfg.ffn_layer == "swiglu_eva":
+            h = SwiGLUEva(hidden, cfg.embed_dim, cfg.ln_eps, cfg.dtype,
+                          name="mlp")(h)
         else:
             raise ValueError(f"unknown ffn_layer {cfg.ffn_layer!r}")
         if cfg.init_values is not None:
@@ -209,15 +326,24 @@ class VisionTransformer(nn.Module):
         x = nn.Conv(
             cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-            dtype=cfg.dtype, name="patch_embed",
+            use_bias=cfg.patch_embed_bias, dtype=cfg.dtype, name="patch_embed",
         )(x)
         x = x.reshape(b, gh * gw, cfg.embed_dim)
 
+        cls_param = None
         if cfg.num_cls_tokens:
-            cls = self.param(
-                "cls_token", nn.initializers.truncated_normal(0.02),
-                (1, cfg.num_cls_tokens, cfg.embed_dim),
-            )
+            if cfg.cls_style == "clip_embed":
+                cls_param = self.param(
+                    "class_embedding",
+                    nn.initializers.normal(cfg.embed_dim**-0.5),
+                    (cfg.embed_dim,),
+                )
+                cls = cls_param.reshape(1, 1, cfg.embed_dim)
+            else:
+                cls = self.param(
+                    "cls_token", nn.initializers.truncated_normal(0.02),
+                    (1, cfg.num_cls_tokens, cfg.embed_dim),
+                )
             x = jnp.concatenate(
                 [jnp.broadcast_to(cls.astype(x.dtype),
                                   (b, cfg.num_cls_tokens, cfg.embed_dim)), x],
@@ -225,7 +351,27 @@ class VisionTransformer(nn.Module):
             )
 
         if cfg.pos_embed == "learned":
-            x = x + self._interpolated_pos_embed(gh, gw).astype(x.dtype)
+            pos = self._interpolated_pos_embed(gh, gw)
+            if cfg.cls_style == "clip_embed":
+                # CLIP quirk: cls position gets class_embedding added again
+                # (clip.py:334-341)
+                pos = jnp.asarray(pos).at[:, 0].add(cls_param)
+            x = x + pos.astype(x.dtype)
+        elif cfg.pos_embed == "learned_2d":
+            # SAM: grid-shaped absolute pos embed, no cls (sam_vit.py:102-109)
+            side = cfg.img_size // cfg.patch_size
+            pos2d = self.param(
+                "pos_embed", nn.initializers.zeros,
+                (1, side, side, cfg.embed_dim))
+            if (gh, gw) != (side, side):
+                from vfmseg_tpu.ops.resize import resize as _resize
+
+                pos2d = _resize(pos2d.astype(jnp.float32), size=(gh, gw),
+                                method="bilinear")
+            x = x + pos2d.reshape(1, gh * gw, cfg.embed_dim).astype(x.dtype)
+
+        if cfg.pre_norm:
+            x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="ln_pre")(x)
 
         rein_mod = None
         if self.reins is not None:
@@ -234,21 +380,36 @@ class VisionTransformer(nn.Module):
                 patch_size=cfg.patch_size, dtype=cfg.dtype, name="reins",
             )
 
+        rope_cs = None
+        if cfg.use_rope:
+            from vfmseg_tpu.ops.rope import rope_2d_tables
+
+            cos, sin = rope_2d_tables(
+                gh, gw, cfg.embed_dim // cfg.num_heads,
+                pt_seq_len=cfg.rope_pt_seq_len, intp_freq=cfg.rope_intp_freq)
+            rope_cs = (jnp.asarray(cos), jnp.asarray(sin))
+
         dpr = [
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
         ]
         block_cls = Block
         if cfg.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            block_cls = nn.remat(Block, static_argnums=(1, 3))
         out_norm = (
             nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
             if cfg.final_norm else None
         )
         outs = []
         for i in range(cfg.depth):
+            ws = 0
+            if cfg.window_size and i not in cfg.global_attn_indexes:
+                ws = cfg.window_size
             x = block_cls(
-                cfg=cfg, drop_path_rate=dpr[i], lora=self.lora, name=f"blocks_{i}"
-            )(x, deterministic)
+                cfg=cfg, drop_path_rate=dpr[i], lora=self.lora,
+                window_size=ws,
+                rel_pos_pretrain_extent=cfg.rel_pos_pretrain_extent,
+                name=f"blocks_{i}",
+            )(x, deterministic, rope_cs, (gh, gw))
             if rein_mod is not None and (
                 self.reins.apply_indices is None or i in self.reins.apply_indices
             ):
@@ -259,15 +420,28 @@ class VisionTransformer(nn.Module):
                     b, gh, gw, cfg.embed_dim)
                 outs.append(feat)
 
-        feats = tuple(outs)
+        feats = outs
+        if cfg.resize_feat and len(feats) == 4:
+            from vfmseg_tpu.ops.resize import resize as _resize
+
+            feats = [
+                _resize(feats[0], scale_factor=4.0, method="bilinear"),
+                _resize(feats[1], scale_factor=2.0, method="bilinear"),
+                feats[2],
+                _resize(feats[3], scale_factor=0.5, method="bilinear"),
+            ]
+        feats = tuple(feats)
         if rein_mod is not None and self.reins.link_token_to_query:
             return feats, rein_mod.queries()
         return feats
 
     def _interpolated_pos_embed(self, gh: int, gw: int) -> jax.Array:
-        """Reference-faithful pos-embed interpolation (dino_v2.py:184-215):
-        bicubic (torch a=-0.75) with the +0.1 scale-factor trick, applied to
-        the grid part; cls part passes through. Static per (gh, gw)."""
+        """Reference-faithful pos-embed interpolation, static per (gh, gw).
+
+        DINOv2 (pos_interp="bicubic"): torch bicubic (a=-0.75) with the +0.1
+        scale-factor trick on the grid part (dino_v2.py:184-215). CLIP
+        (pos_interp="bilinear"): plain size-based bilinear every forward
+        (clip.py:334-345). cls positions pass through either way."""
         cfg = self.cfg
         n_grid = (cfg.img_size // cfg.patch_size) ** 2
         n_prefix = cfg.num_cls_tokens
@@ -276,17 +450,18 @@ class VisionTransformer(nn.Module):
             (1, n_grid + n_prefix, cfg.embed_dim),
         )
         side = int(math.sqrt(n_grid))
-        if gh == gw and gh * gw == n_grid:
+        if (gh, gw) == (side, side):
             return pos
         prefix, grid = pos[:, :n_prefix], pos[:, n_prefix:]
         grid = grid.reshape(1, side, side, cfg.embed_dim)
-        # torch: scale_factor=((gh+0.1)/side, (gw+0.1)/side), bicubic
         from vfmseg_tpu.ops.resize import _apply_separable  # internal, static
 
+        if cfg.pos_interp == "bicubic":
+            scales = ((gh + 0.1) / side, (gw + 0.1) / side)
+        else:
+            scales = (None, None)
         grid = _apply_separable(
-            grid.astype(jnp.float32), (gh, gw), "bicubic", False,
-            ((gh + 0.1) / side, (gw + 0.1) / side),
-        )
+            grid.astype(jnp.float32), (gh, gw), cfg.pos_interp, False, scales)
         grid = grid.reshape(1, gh * gw, cfg.embed_dim)
         if n_prefix:
             return jnp.concatenate([prefix, grid.astype(pos.dtype)], axis=1)
