@@ -40,7 +40,7 @@ def main():
     from vfmseg_tpu.core.config import load_config
     from vfmseg_tpu.core.registry import DATASETS
     from vfmseg_tpu.data.transforms import TestPipeline
-    from vfmseg_tpu.eval.evaluator import evaluate, make_ms_predict_fn
+    from vfmseg_tpu.eval.evaluator import evaluate, make_predict_fn
     from vfmseg_tpu.eval.metrics import IoUAccumulator
     from vfmseg_tpu.models.build import build_segmentor
     from vfmseg_tpu.train.checkpoint import load_pytree
@@ -84,7 +84,7 @@ def main():
         print(f"evaluating {key}: {len(dataset)} images")
         sample = dataset[0]
         out_hw = sample["label"].shape if "label" in sample else (wh[1], wh[0])
-        predict = make_ms_predict_fn(model, cfg.get("test_cfg", {}), out_hw=out_hw)
+        predict = make_predict_fn(model, cfg.get("test_cfg", {}), out_hw=out_hw)
 
         def run_pipeline(img, label=None):
             out = pipeline(img, label)

@@ -61,6 +61,34 @@ def make_whole_predict_fn(model, out_hw: Tuple[int, int]):
     return predict
 
 
+def make_slide_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
+    """mmseg slide inference (batched crops) for plain encoder-decoders."""
+
+    @jax.jit
+    def predict(variables, img):
+        def logits_fn(crops):
+            return model.apply(variables, crops,
+                               method=type(model).encode_decode)
+
+        logits = slide_inference(
+            logits_fn, img, tuple(test_cfg.get("crop_size", (512, 512))),
+            tuple(test_cfg.get("stride", (341, 341))))
+        logits = resize(logits, size=out_hw, method="bilinear")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
+    """Dispatch on test_cfg.mode (reference inference modes, SURVEY §3.2)."""
+    mode = (test_cfg or {}).get("mode", "whole")
+    if mode == "ms_slide_inference":
+        return make_ms_predict_fn(model, test_cfg, out_hw)
+    if mode in ("slide", "lr_slide_inference", "hr_slide_inference"):
+        return make_slide_predict_fn(model, test_cfg, out_hw)
+    return make_whole_predict_fn(model, out_hw)
+
+
 def evaluate(
     predict_fn, variables, dataset, *,
     num_classes: int = 19,

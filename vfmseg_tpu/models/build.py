@@ -89,10 +89,33 @@ def build_encoder_decoder(
     dtype: Any = jnp.float32,
     attn_impl: str = "auto",
     **_unused,
-) -> EncoderDecoder:
+):
     del data_preprocessor, train_cfg, test_cfg
+    backbone_mod = MODELS.build(dict(backbone), dtype=dtype, attn_impl=attn_impl)
+    head_type = decode_head.get("type", "")
+    if "Mask2Former" in head_type:
+        from vfmseg_tpu.models.heads.mask2former import Mask2FormerHead
+        from vfmseg_tpu.models.segmentors.maskformer import MaskFormerSegmentor
+
+        hc = dict(decode_head)
+        num_classes = hc.get("num_classes", 19)
+        train_cfg_h = hc.get("train_cfg", {}) or {}
+        head = Mask2FormerHead(
+            num_classes=num_classes,
+            num_queries=hc.get("num_queries", 100),
+            feat_channels=hc.get("feat_channels", 256),
+            num_transformer_feat_level=hc.get("num_transformer_feat_level", 3),
+            num_decoder_layers=hc.get("transformer_decoder", {}).get(
+                "num_layers", 9),
+            replace_query_feat=hc.get("replace_query_feat", False),
+            rein_queries=head_type.startswith("Rein"),
+            dtype=dtype,
+        )
+        return MaskFormerSegmentor(
+            backbone=backbone_mod, decode_head=head, num_classes=num_classes,
+            num_points=train_cfg_h.get("num_points", 12544))
     return EncoderDecoder(
-        backbone=MODELS.build(dict(backbone), dtype=dtype, attn_impl=attn_impl),
+        backbone=backbone_mod,
         decode_head=_build_head(decode_head, dtype, attn_impl),
     )
 

@@ -23,7 +23,7 @@ class EncoderDecoder(nn.Module):
     decode_head: nn.Module
     align_corners: bool = False
 
-    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+    def forward(self, img: jax.Array, train: bool = False) -> jax.Array:
         """Forward to head logits at the head's native stride (NHWC)."""
         feats = self.backbone(img, deterministic=not train)
         if isinstance(feats, tuple) and len(feats) == 2 and not hasattr(feats[0], "shape"):
@@ -32,13 +32,14 @@ class EncoderDecoder(nn.Module):
 
     def encode_decode(self, img: jax.Array, train: bool = False) -> jax.Array:
         """Logits resized to the input resolution (mmseg encode_decode)."""
-        logits = self(img, train=train)
+        logits = self.forward(img, train=train)
         return resize(logits, size=img.shape[1:3], method="bilinear",
                       align_corners=self.align_corners)
 
-    def loss(self, img: jax.Array, labels: jax.Array, train: bool = True):
-        """CE + accuracy vs labels at label resolution (linear_head.py:72-113)."""
-        logits = self(img, train=train)
+    def __call__(self, img: jax.Array, labels: jax.Array, train: bool = True):
+        """Training losses: CE + accuracy vs labels at label resolution
+        (linear_head.py:72-113)."""
+        logits = self.forward(img, train=train)
         logits = resize(logits, size=labels.shape[1:3], method="bilinear",
                         align_corners=self.align_corners)
         losses = {

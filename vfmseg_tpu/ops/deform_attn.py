@@ -1,0 +1,77 @@
+"""Multi-scale deformable attention sampling (XLA gather-based).
+
+TPU-native replacement for the mmcv/mmdet MSDeformAttn CUDA op used by the
+Mask2Former pixel decoder (reference config
+configs/_base_/models/rein_dinov2_mask2former.py:54-87; SURVEY §7.3).
+Semantics follow the original: sampling locations normalized to [0, 1],
+bilinear sampling with align_corners=False and zero padding, per-head
+per-level per-point softmaxed attention weights.
+
+The bilinear sample is 4 gathers + a lerp — XLA lowers the gathers to
+dynamic-slice batches on TPU. All shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample_nhwc(value: jax.Array, loc: jax.Array) -> jax.Array:
+    """Zero-padded bilinear sampling.
+
+    value: [B, H, W, C]; loc: [B, N, 2] normalized (x, y) in [0, 1]
+    (grid_sample align_corners=False convention: pixel centers at
+    (i + 0.5) / size). Returns [B, N, C].
+    """
+    b, h, w, c = value.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def gather(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = value.reshape(b, h * w, c)
+        idx = yc * w + xc  # [B, N]
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return jnp.where(inside[..., None], out, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[..., None].astype(value.dtype)
+    fy = fy[..., None].astype(value.dtype)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def ms_deform_attn_core(
+    value_list: Sequence[jax.Array],       # per level [B, H_l, W_l, heads, d]
+    sampling_locations: jax.Array,         # [B, Nq, heads, L, P, 2] in [0,1]
+    attention_weights: jax.Array,          # [B, Nq, heads, L, P] (softmaxed)
+) -> jax.Array:
+    """Returns [B, Nq, heads*d]."""
+    b, nq, heads, num_levels, num_points, _ = sampling_locations.shape
+    outputs = []
+    for lvl, value in enumerate(value_list):
+        _, h, w, _, d = value.shape
+        # fold heads into batch so each head samples its own plane
+        v = value.transpose(0, 3, 1, 2, 4).reshape(b * heads, h, w, d)
+        loc = sampling_locations[:, :, :, lvl]          # [B, Nq, heads, P, 2]
+        loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq * num_points, 2)
+        sampled = bilinear_sample_nhwc(v, loc)          # [B*heads, Nq*P, d]
+        sampled = sampled.reshape(b, heads, nq, num_points, d)
+        wts = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,h,Nq,P]
+        outputs.append(jnp.einsum("bhnpd,bhnp->bhnd", sampled,
+                                  wts.astype(sampled.dtype)))
+    out = sum(outputs)                                   # [B, heads, Nq, d]
+    return out.transpose(0, 2, 1, 3).reshape(b, nq, heads * d)

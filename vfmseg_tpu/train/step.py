@@ -42,7 +42,7 @@ def make_train_step(
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
             variables = {"params": params}
-            mutable = []
+            mutable = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
