@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--backbone", default=None,
                    help="converted backbone weights (.npz)")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--tta", action="store_true",
+                   help="flip(+multi-scale) test-time augmentation")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -84,7 +86,8 @@ def main():
         print(f"evaluating {key}: {len(dataset)} images")
         sample = dataset[0]
         out_hw = sample["label"].shape if "label" in sample else (wh[1], wh[0])
-        predict = make_predict_fn(model, cfg.get("test_cfg", {}), out_hw=out_hw)
+        predict = make_predict_fn(model, cfg.get("test_cfg", {}),
+                                  out_hw=out_hw, tta=args.tta)
 
         def run_pipeline(img, label=None):
             out = pipeline(img, label)

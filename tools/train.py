@@ -64,13 +64,21 @@ def main():
 
     # ---- data -------------------------------------------------------
     dcfg = cfg.data
+    uda_cfg = cfg.get("uda")
     source = DATASETS.build(dict(dcfg.source))
     pipeline = TrainPipeline(**{k: tuple(v) if isinstance(v, list) else v
                                 for k, v in dict(dcfg.train_pipeline).items()})
-    dataset = DATASETS.get("DGDataset")(
-        source, pipeline,
-        rare_class_sampling=dcfg.get("rare_class_sampling"),
-        seed=cfg.get_path("schedule.seed", 0))
+    if uda_cfg:
+        target = DATASETS.build(dict(dcfg.target))
+        dataset = DATASETS.get("UDADataset")(
+            source, target, pipeline,
+            rare_class_sampling=dcfg.get("rare_class_sampling"),
+            seed=cfg.get_path("schedule.seed", 0))
+    else:
+        dataset = DATASETS.get("DGDataset")(
+            source, pipeline,
+            rare_class_sampling=dcfg.get("rare_class_sampling"),
+            seed=cfg.get_path("schedule.seed", 0))
     loader = InfiniteLoader(dataset, batch_size=dcfg.get("batch_size", 2),
                             num_workers=dcfg.get("num_workers", 4),
                             seed=cfg.get_path("schedule.seed", 0))
@@ -110,12 +118,38 @@ def main():
     print(f"trainable params: {n_train:,} / {n_total:,} "
           f"({100.0 * n_train / n_total:.2f}%)")
 
+    ema = None
+    if uda_cfg:
+        from vfmseg_tpu.train.optim import merge_params as _merge
+        from vfmseg_tpu.train.uda import DACSConfig, make_dacs_train_step
+
+        head_key = uda_cfg.get("head_key", "decode_head")
+        # materialize a copy: aliasing the student buffers would break
+        # donation (same buffer donated twice)
+        ema = jax.tree_util.tree_map(
+            jnp.array, _merge(trainable, frozen)[head_key])
+
     state = TrainState(
         step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(trainable))
+        opt_state=optimizer.init(trainable), ema=ema)
 
-    step_fn = make_train_step(model, optimizer)
+    if uda_cfg:
+        dacs = DACSConfig(
+            pseudo_threshold=uda_cfg.get("pseudo_threshold", 0.968),
+            psweight_ignore_top=uda_cfg.get("pseudo_weight_ignore_top", 15),
+            psweight_ignore_bottom=uda_cfg.get(
+                "pseudo_weight_ignore_bottom", 120),
+            color_jitter_strength=uda_cfg.get("color_jitter_strength", 0.25),
+            color_jitter_probability=uda_cfg.get(
+                "color_jitter_probability", 0.2),
+            blur=uda_cfg.get("blur", True),
+            num_classes=cfg.get("num_classes", 19),
+            alpha=uda_cfg.get("alpha", 0.999),
+            head_key=uda_cfg.get("head_key", "decode_head"))
+        step_fn = make_dacs_train_step(model, optimizer, dacs)
+    else:
+        step_fn = make_train_step(model, optimizer)
     sched = cfg.get("schedule", {})
     train_loop(
         state, step_fn, iter(loader), max_iters=max_iters, work_dir=work_dir,

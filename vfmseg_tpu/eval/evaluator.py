@@ -79,14 +79,36 @@ def make_slide_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     return predict
 
 
-def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
-    """Dispatch on test_cfg.mode (reference inference modes, SURVEY §3.2)."""
+def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
+                    tta: bool = False):
+    """Dispatch on test_cfg.mode (reference inference modes, SURVEY §3.2).
+    tta wraps the predictor with flip(+scales) averaging (eval/tta.py)."""
     mode = (test_cfg or {}).get("mode", "whole")
     if mode == "ms_slide_inference":
-        return make_ms_predict_fn(model, test_cfg, out_hw)
-    if mode in ("slide", "lr_slide_inference", "hr_slide_inference"):
-        return make_slide_predict_fn(model, test_cfg, out_hw)
-    return make_whole_predict_fn(model, out_hw)
+        base = make_ms_predict_fn(model, test_cfg, out_hw)
+    elif mode in ("slide", "lr_slide_inference", "hr_slide_inference"):
+        base = make_slide_predict_fn(model, test_cfg, out_hw)
+    else:
+        base = make_whole_predict_fn(model, out_hw)
+    if not tta:
+        return base
+    from vfmseg_tpu.eval.tta import tta_logits
+
+    scales = tuple((test_cfg or {}).get("tta_scales", (1.0,)))
+
+    @jax.jit
+    def predict(variables, img):
+        def logits_fn(view):
+            # reuse the argmax-free core by re-running the base pipeline at
+            # logits level: encode through the model's encode_decode
+            return model.apply(variables, view,
+                               method=type(model).encode_decode)
+
+        probs = tta_logits(logits_fn, img, flip=True, scales=scales)
+        probs = resize(probs, size=out_hw, method="bilinear")
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    return predict
 
 
 def evaluate(

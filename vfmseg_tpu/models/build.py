@@ -28,23 +28,38 @@ _HEAD_KEYS = {
 }
 
 
+def _head_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    kw = {k: v for k, v in cfg.items() if k in _HEAD_KEYS}
+    if "in_channels" in kw:
+        kw["in_channels"] = tuple(kw["in_channels"])
+    return kw
+
+
 def _build_head(cfg: Dict[str, Any], dtype, attn_impl: str):
+    from vfmseg_tpu.models.heads.attention_head import AttentionHead
+    from vfmseg_tpu.models.heads.daformer import DAFormerHead
+    from vfmseg_tpu.models.heads.dino_head import DINOHead
+    from vfmseg_tpu.models.heads.segformer import SegformerHead
+
     cfg = dict(cfg)
     kind = cfg.pop("type")
     cfg.pop("in_index", None)
     cfg.pop("norm_cfg", None)
     cfg.pop("loss_decode", None)
+    kw = _head_kwargs(cfg)
     if kind == "LinearHead":
-        kw = {k: v for k, v in cfg.items() if k in _HEAD_KEYS}
-        if "in_channels" in kw:
-            kw["in_channels"] = tuple(kw["in_channels"])
         return LinearHead(dtype=dtype, **kw)
     if kind == "VFMHead":
-        kw = {k: v for k, v in cfg.items() if k in _HEAD_KEYS}
-        if "in_channels" in kw:
-            kw["in_channels"] = tuple(kw["in_channels"])
         return VFMHead(transformer=dict(cfg.get("transformer", {})), dtype=dtype,
                        attn_impl=attn_impl, **kw)
+    if kind == "AttentionHead":
+        return AttentionHead(dtype=dtype, **kw)
+    if kind == "SegformerHead":
+        return SegformerHead(dtype=dtype, **kw)
+    if kind == "DAFormerHead":
+        return DAFormerHead(dtype=dtype, **kw)
+    if kind == "DINOhead":
+        return DINOHead(dtype=dtype, attn_impl=attn_impl, **kw)
     return MODELS.build(cfg | {"type": kind})
 
 
@@ -118,6 +133,114 @@ def build_encoder_decoder(
         backbone=backbone_mod,
         decode_head=_build_head(decode_head, dtype, attn_impl),
     )
+
+
+@MODELS.register("FrozenBackboneEncoderDecoder")
+def build_frozen_encoder_decoder(**kwargs):
+    """frozen_encoder_decoder.py:19-34."""
+    model = build_encoder_decoder(**kwargs)
+    return model.clone(frozen_backbone=True)
+
+
+@MODELS.register("LoraBackboneEncoderDecoder")
+def build_lora_encoder_decoder(backbone: Dict[str, Any], Lora_config: dict,
+                               **kwargs):
+    """Lora_encoder_decoder.py:14-43: EncoderDecoder that LoRA-wraps its own
+    backbone (same effect as LoRABackbone)."""
+    wrapped = dict(type="LoRABackbone", backbone=dict(backbone),
+                   Lora_config=dict(Lora_config))
+    return build_encoder_decoder(backbone=wrapped, **kwargs)
+
+
+@MODELS.register("HRDAEncoderDecoder")
+def build_hrda_encoder_decoder(
+    backbone: Dict[str, Any],
+    decode_head: Dict[str, Any],
+    scales=(1, 0.5),
+    hr_crop_size=(512, 512),
+    crop_coord_divisible: int = 8,
+    hr_slide_inference: bool = True,
+    feature_scale: float = 0.5,
+    frozen: bool = False,
+    data_preprocessor: Optional[dict] = None,
+    train_cfg: Optional[dict] = None,
+    test_cfg: Optional[dict] = None,
+    dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+    **_unused,
+):
+    from vfmseg_tpu.models.segmentors.hrda import HRDAEncoderDecoder, HRDAHead
+
+    del data_preprocessor, train_cfg, test_cfg, hr_slide_inference, feature_scale
+    hc = dict(decode_head)
+    head = HRDAHead(
+        seg_head=_build_head(dict(hc["seg_head"]), dtype, attn_impl),
+        scale_attention=_build_head(dict(hc["single_scale_head"]), dtype,
+                                    attn_impl),
+        lr_loss_weight=hc.get("lr_loss_weight", 0.0),
+        hr_loss_weight=hc.get("hr_loss_weight", 0.1),
+    )
+    return HRDAEncoderDecoder(
+        backbone=MODELS.build(dict(backbone), dtype=dtype, attn_impl=attn_impl),
+        decode_head=head,
+        scales=tuple(sorted(scales)),
+        hr_crop_size=tuple(hr_crop_size),
+        crop_coord_divisible=crop_coord_divisible,
+        frozen_backbone=frozen,
+    )
+
+
+@MODELS.register("FrozenHRDAEncoderDecoder")
+def build_frozen_hrda_encoder_decoder(**kwargs):
+    """hrda_encoder_decoder.py:450-464 (backbone no-grad)."""
+    kwargs["frozen"] = True
+    return build_hrda_encoder_decoder(**kwargs)
+
+
+@MODELS.register("MultiScaleEncoderDecoder")
+def build_multiscale_encoder_decoder(
+    backbone: Dict[str, Any],
+    decode_head: Dict[str, Any],
+    hr_crop_size=(512, 512),
+    crop_coord_divisible: int = 32,
+    detail_loss: float = 1.0,
+    data_preprocessor: Optional[dict] = None,
+    train_cfg: Optional[dict] = None,
+    test_cfg: Optional[dict] = None,
+    dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+    **_unused,
+):
+    from vfmseg_tpu.models.segmentors.multiscale import MultiScaleEncoderDecoder
+
+    del data_preprocessor, train_cfg, test_cfg
+    return MultiScaleEncoderDecoder(
+        backbone=MODELS.build(dict(backbone), dtype=dtype, attn_impl=attn_impl),
+        decode_head=_build_head(dict(decode_head), dtype, attn_impl),
+        hr_crop_size=tuple(hr_crop_size),
+        crop_coord_divisible=crop_coord_divisible,
+        detail_loss=detail_loss,
+    )
+
+
+@MODELS.register("DomainGeneral")
+def build_domain_general(model_cfg: Dict[str, Any],
+                         train_cfg: Optional[dict] = None,
+                         dtype: Any = jnp.float32,
+                         attn_impl: str = "auto",
+                         **kwargs):
+    """DG wrapper (DG.py:18-25): color_jitter_strength/probability, blur."""
+    from vfmseg_tpu.models.algorithms.dg import DomainGeneral
+
+    del train_cfg
+    inner = MODELS.build(dict(model_cfg), dtype=dtype, attn_impl=attn_impl)
+    accepted = {
+        "enable_mask_loss", "color_jitter_strength",
+        "color_jitter_probability", "blur", "mask_ratio", "mask_block_size",
+        "lamda_mask",
+    }
+    return DomainGeneral(model=inner,
+                         **{k: v for k, v in kwargs.items() if k in accepted})
 
 
 def build_segmentor(model_cfg: Dict[str, Any], dtype=jnp.float32,

@@ -22,12 +22,18 @@ class EncoderDecoder(nn.Module):
     backbone: nn.Module
     decode_head: nn.Module
     align_corners: bool = False
+    # FrozenBackboneEncoderDecoder (frozen_encoder_decoder.py:19-34): the
+    # functional analogue of eval+no-grad+detach is a stop_gradient on the
+    # features (param freezing itself is the PEFT partition's job)
+    frozen_backbone: bool = False
 
     def forward(self, img: jax.Array, train: bool = False) -> jax.Array:
         """Forward to head logits at the head's native stride (NHWC)."""
-        feats = self.backbone(img, deterministic=not train)
+        feats = self.backbone(img, deterministic=not train or self.frozen_backbone)
         if isinstance(feats, tuple) and len(feats) == 2 and not hasattr(feats[0], "shape"):
             feats, _queries = feats  # Rein backbones also return queries
+        if self.frozen_backbone:
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         return self.decode_head(feats, train=train)
 
     def encode_decode(self, img: jax.Array, train: bool = False) -> jax.Array:
@@ -36,14 +42,17 @@ class EncoderDecoder(nn.Module):
         return resize(logits, size=img.shape[1:3], method="bilinear",
                       align_corners=self.align_corners)
 
-    def __call__(self, img: jax.Array, labels: jax.Array, train: bool = True):
+    def __call__(self, img: jax.Array, labels: jax.Array, train: bool = True,
+                 pixel_weight: jax.Array = None):
         """Training losses: CE + accuracy vs labels at label resolution
-        (linear_head.py:72-113)."""
+        (linear_head.py:72-113). pixel_weight: optional [B, H, W] per-pixel
+        loss weights (DACS pseudo-label confidence, dacs.py:253-279)."""
         logits = self.forward(img, train=train)
         logits = resize(logits, size=labels.shape[1:3], method="bilinear",
                         align_corners=self.align_corners)
         losses = {
-            "decode.loss_ce": cross_entropy_loss(logits, labels),
+            "decode.loss_ce": cross_entropy_loss(logits, labels,
+                                                 pixel_weight=pixel_weight),
             "decode.acc_seg": seg_accuracy(logits, labels),
         }
         return losses

@@ -44,11 +44,20 @@ class MaskFormerSegmentor(nn.Module):
         return resize(logits, size=img.shape[1:3], method="bilinear",
                       align_corners=self.align_corners)
 
-    def __call__(self, img: jax.Array, labels: jax.Array) -> Dict[str, jax.Array]:
-        """Training: multi-stage Hungarian-matched losses."""
+    def __call__(self, img: jax.Array, labels: jax.Array, train: bool = True,
+                 pixel_weight: jax.Array = None) -> Dict[str, jax.Array]:
+        """Training: multi-stage Hungarian-matched losses. pixel_weight (used
+        by DACS pseudo-labels) scales the set losses by its mean — the
+        per-pixel weighting has no direct analogue in set prediction."""
+        del train
         feats, queries = self._feats_queries(img, True)
         cls_preds, mask_preds = self.decode_head(feats, queries, train=True)
         rng = self.make_rng("mask")
-        return mask2former_loss(
+        losses = mask2former_loss(
             cls_preds, mask_preds, labels, rng,
             num_classes=self.num_classes, num_points=self.num_points)
+        if pixel_weight is not None:
+            scale = jnp.mean(pixel_weight)
+            losses = {k: (v * scale if "loss" in k else v)
+                      for k, v in losses.items()}
+        return losses

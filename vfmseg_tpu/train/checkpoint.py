@@ -55,6 +55,8 @@ class CheckpointManager:
         save_pytree(self._path(step, "trainable"), {"t": state.trainable})
         if state.batch_stats:
             save_pytree(self._path(step, "batch_stats"), {"b": state.batch_stats})
+        if state.ema is not None:
+            save_pytree(self._path(step, "ema"), {"e": state.ema})
         if not light:
             save_pytree(self._path(step, "frozen"), {"f": state.frozen})
         self._prune()
@@ -80,9 +82,14 @@ class CheckpointManager:
         fpath = self._path(step, "frozen")
         if os.path.exists(fpath):
             frozen = load_pytree(fpath)["f"]
+        ema = state.ema
+        epath = self._path(step, "ema")
+        if os.path.exists(epath):
+            ema = load_pytree(epath)["e"]
         return state.replace(
             step=jax.numpy.asarray(step, jax.numpy.int32),
-            trainable=trainable, frozen=frozen, batch_stats=batch_stats)
+            trainable=trainable, frozen=frozen, batch_stats=batch_stats,
+            ema=ema)
 
     def _prune(self) -> None:
         steps = sorted({

@@ -1,0 +1,149 @@
+"""DACS self-training UDA step.
+
+Rebuilds rein/models/uda/dacs.py as one functional jitted step
+(SURVEY §3.4), normalizing away per-branch backward calls:
+
+  * EMA teacher = EMA copy of the decode head only (dacs.py:87,103-143);
+    features come from the shared backbone; the EMA tree rides
+    TrainState.ema and lerps with alpha = min(1 - 1/(iter+1), 0.999)
+  * teacher pseudo-labels on the target batch with a scalar
+    confidence-ratio weight (prob >= 0.968), top 15 / bottom 120 pixel rows
+    zeroed (:253-279)
+  * ClassMix: ~half the source classes pasted onto the target image,
+    labels and weights mixed alike; strong transform (jitter/blur) on the
+    mixed image (:285-299)
+  * one optimizer step over source CE + mixed pixel-weighted CE
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vfmseg_tpu.models.algorithms.augment import (
+    class_mix_masks,
+    one_mix,
+    strong_transform,
+)
+from vfmseg_tpu.train.optim import merge_params
+from vfmseg_tpu.train.state import TrainState
+from vfmseg_tpu.train.step import sum_losses
+from vfmseg_tpu.utils.misc import add_prefix
+
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class DACSConfig:
+    pseudo_threshold: float = 0.968
+    psweight_ignore_top: int = 15
+    psweight_ignore_bottom: int = 120
+    color_jitter_strength: float = 0.25
+    color_jitter_probability: float = 0.2
+    blur: bool = True
+    num_classes: int = 19
+    alpha: float = 0.999  # EMA decay cap
+    head_key: str = "decode_head"
+
+
+def _replace_subtree(params, key: str, subtree):
+    out = dict(params)
+    out[key] = subtree
+    return out
+
+
+def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
+                         cfg: DACSConfig = DACSConfig(),
+                         donate: bool = True) -> Callable:
+    """model: an EncoderDecoder-style segmentor (CE losses, pixel_weight
+    support). batch: {img, label, target_img}."""
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_mix, k_aug, k_drop = jax.random.split(step_rng, 3)
+        src_img, src_lbl = batch["img"], batch["label"]
+        tgt_img = batch["target_img"]
+        b, h, w = src_lbl.shape
+
+        params = merge_params(state.trainable, state.frozen)
+        teacher_params = _replace_subtree(params, cfg.head_key, state.ema)
+        tvars = {"params": teacher_params}
+        if state.batch_stats:
+            tvars["batch_stats"] = state.batch_stats
+        tgt_logits = model.apply(tvars, tgt_img,
+                                 method=type(model).encode_decode)
+        probs = jax.nn.softmax(tgt_logits.astype(jnp.float32), axis=-1)
+        max_prob = jnp.max(probs, axis=-1)
+        pseudo_label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        pweight = jnp.mean((max_prob >= cfg.pseudo_threshold).astype(jnp.float32))
+        weight_map = jnp.full((b, h, w), pweight, jnp.float32)
+        if cfg.psweight_ignore_top > 0:
+            weight_map = weight_map.at[:, :cfg.psweight_ignore_top].set(0.0)
+        if cfg.psweight_ignore_bottom > 0:
+            weight_map = weight_map.at[:, -cfg.psweight_ignore_bottom:].set(0.0)
+
+        mix_mask = class_mix_masks(k_mix, src_lbl, cfg.num_classes)
+        mixed_img = one_mix(mix_mask, src_img.astype(jnp.float32),
+                            tgt_img.astype(jnp.float32))
+        mixed_lbl = jnp.where(mix_mask > 0.5, src_lbl, pseudo_label)
+        mixed_weight = one_mix(mix_mask, jnp.ones_like(weight_map), weight_map)
+        mixed_img = strong_transform(
+            k_aug, mixed_img, mean, std, cfg.color_jitter_strength,
+            cfg.color_jitter_probability, 1.0 if cfg.blur else 0.0
+        ).astype(src_img.dtype)
+
+        rngs = {"dropout": k_drop, "mask": jax.random.fold_in(k_drop, 1),
+                "crop": jax.random.fold_in(k_drop, 2)}
+
+        def loss_fn(trainable):
+            p = merge_params(trainable, state.frozen)
+            variables = {"params": p}
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, src_img, src_lbl, rngs=rngs,
+                              mutable=mutable)
+            src_losses, new_state = out if mutable else (out, {})
+            variables2 = {"params": p}
+            if state.batch_stats:
+                variables2["batch_stats"] = new_state.get(
+                    "batch_stats", state.batch_stats)
+            out2 = model.apply(variables2, mixed_img, mixed_lbl, True,
+                               mixed_weight, rngs=rngs, mutable=mutable)
+            mix_losses, new_state2 = out2 if mutable else (out2, {})
+            losses = dict(add_prefix(src_losses, "src"))
+            losses.update(add_prefix(mix_losses, "mix"))
+            return sum_losses(losses), (losses, new_state2)
+
+        (loss, (losses, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+
+        # EMA head update (dacs.py:131-143)
+        alpha = jnp.minimum(1.0 - 1.0 / (state.step.astype(jnp.float32) + 1.0),
+                            cfg.alpha)
+        new_head = merge_params(trainable, state.frozen)[cfg.head_key]
+        ema = jax.tree_util.tree_map(
+            lambda e, p: alpha * e + (1.0 - alpha) * p, state.ema, new_head)
+
+        new_state = state.replace(
+            step=state.step + 1, trainable=trainable, opt_state=opt_state,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            ema=ema)
+        metrics = dict(losses)
+        metrics["loss"] = loss
+        metrics["pseudo_weight"] = pweight
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
