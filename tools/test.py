@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--tta", action="store_true",
                    help="flip(+multi-scale) test-time augmentation")
+    p.add_argument("--show-dir", default=None,
+                   help="save colorized prediction PNGs here (reference "
+                        "DGIoUMetric output_dir, rein/dg_metrics.py:60-72)")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -100,6 +103,16 @@ def main():
             proc = run_pipeline(raw["img"], raw.get("label"))
             pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
             acc.update(pred, proc["label"], key)
+            if args.show_dir:
+                import numpy as _np
+                from PIL import Image as _Image
+
+                from vfmseg_tpu.utils.visualization import colorize_label
+
+                os.makedirs(os.path.join(args.show_dir, key), exist_ok=True)
+                name = os.path.basename(raw.get("img_path", f"{i}.png"))
+                _Image.fromarray(colorize_label(_np.asarray(pred))).save(
+                    os.path.join(args.show_dir, key, name))
 
     results = acc.compute()
     print(json.dumps(results, indent=2))

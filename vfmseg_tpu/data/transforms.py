@@ -27,27 +27,67 @@ IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
 def load_image(path: str) -> np.ndarray:
+    from vfmseg_tpu.data import native
+
+    out = native.load_image(path)
+    if out is not None:
+        return out
     return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
 
 
 def load_label(path: str) -> np.ndarray:
+    from vfmseg_tpu.data import native
+
+    out = native.load_label(path)
+    if out is not None:
+        return out
     return np.asarray(Image.open(path), dtype=np.uint8)
 
 
 def resize_sample(img: np.ndarray, label: Optional[np.ndarray],
                   scale_wh: Tuple[int, int], keep_ratio: bool = False):
-    """mmcv Resize: scale is (w, h); bilinear for image, nearest for label."""
+    """mmcv Resize: scale is (w, h); bilinear (half-pixel, no antialias —
+    cv2/mmcv semantics; the native path implements exactly this) for the
+    image, nearest for the label."""
     w, h = scale_wh
     if keep_ratio:
         ih, iw = img.shape[:2]
         ratio = min(w / iw, h / ih)
         w, h = int(iw * ratio + 0.5), int(ih * ratio + 0.5)
-    pimg = Image.fromarray(img).resize((w, h), Image.BILINEAR)
-    img = np.asarray(pimg, dtype=np.uint8)
+    img = bilinear_resize_u8(img, (w, h))
     if label is not None:
-        plab = Image.fromarray(label).resize((w, h), Image.NEAREST)
-        label = np.asarray(plab, dtype=np.uint8)
+        label = nearest_resize_u8(label, (w, h))
     return img, label
+
+
+def bilinear_resize_u8(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
+    """Vectorized half-pixel bilinear (cv2/torch semantics, no antialias)."""
+    w, h = wh
+    ih, iw = img.shape[:2]
+    if (iw, ih) == (w, h):
+        return img
+    sy = np.clip((np.arange(h) + 0.5) * ih / h - 0.5, 0, ih - 1)
+    sx = np.clip((np.arange(w) + 0.5) * iw / w - 0.5, 0, iw - 1)
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    fy = (sy - y0)[:, None, None]
+    fx = (sx - x0)[None, :, None]
+    f = img.astype(np.float32)
+    top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
+    bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return (out + 0.5).astype(np.uint8)
+
+
+def nearest_resize_u8(label: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
+    """torch/cv2 'nearest' (floor mapping) for uint8 labels."""
+    w, h = wh
+    ih, iw = label.shape[:2]
+    yi = (np.arange(h) * ih // h).astype(np.int64)
+    xi = (np.arange(w) * iw // w).astype(np.int64)
+    return label[yi][:, xi]
 
 
 def random_crop(img: np.ndarray, label: np.ndarray, crop_size: Tuple[int, int],
