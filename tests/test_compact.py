@@ -1,0 +1,61 @@
+"""Compact gated inference must match the dense path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfmseg_tpu.eval.compact import CompactMsSlide
+from vfmseg_tpu.eval.slide import ms_slide_inference
+
+K = jax.random.PRNGKey
+
+
+def _fns():
+    w_lr = jax.random.normal(K(0), (3, 4))
+
+    def lr_fn(variables, x):
+        del variables
+        # mixed confidence: strongly confident in the top half
+        logits = x @ w_lr
+        bias = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) <
+            logits.shape[1] // 2, 50.0, 0.0)
+        return logits + bias * jax.nn.one_hot(2, 4)
+
+    def hr_fn(variables, crops, ctx):
+        del variables
+        return crops @ w_lr * 2.0 + ctx * 0.1
+
+    return lr_fn, hr_fn
+
+
+def test_compact_matches_dense():
+    lr_fn, hr_fn = _fns()
+    img = jax.random.normal(K(1), (1, 64, 64, 3))
+
+    dense = ms_slide_inference(
+        lambda x: lr_fn(None, x), lambda c, t: hr_fn(None, c, t), img,
+        crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8)
+
+    compact = CompactMsSlide(
+        lr_fn, hr_fn, crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8)
+    out, n_refined = compact(None, img)
+    assert 0 < n_refined < 9  # the gate actually skipped something
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compact_all_confident_refines_nothing():
+    def lr_fn(variables, x):
+        return jnp.zeros(x.shape[:3] + (4,)).at[..., 1].set(100.0)
+
+    def hr_fn(variables, crops, ctx):
+        raise AssertionError("refinement must not be traced")
+
+    compact = CompactMsSlide(lr_fn, hr_fn, crop=(32, 32), stride=(16, 16),
+                             lr_size=(32, 32))
+    out, n = compact(None, jax.random.normal(K(2), (1, 64, 64, 3)))
+    assert n == 0
+    assert out.shape == (1, 64, 64, 4)

@@ -79,12 +79,46 @@ def make_slide_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     return predict
 
 
+def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
+    """Gated two-phase ms_slide (eval/compact.py): identical outputs to the
+    dense path, but low-confidence windows are the only ones refined."""
+    from vfmseg_tpu.eval.compact import CompactMsSlide
+
+    def lr_fn(variables, x):
+        return model.apply(variables, x, method=MsVFMSegmentor.lr_forward)
+
+    def hr_fn(variables, crops, ctx):
+        return model.apply(variables, crops, ctx, False, False,
+                           method=MsVFMSegmentor.hr_forward)
+
+    compact = CompactMsSlide(
+        lr_fn, hr_fn,
+        crop=tuple(test_cfg.get("crop_size", (512, 512))),
+        stride=tuple(test_cfg.get("stride", (320, 320))),
+        lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
+        threshold=test_cfg.get("threshold", 0.968),
+        conf=test_cfg.get("conf", 0.8))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _finish(logits):
+        logits = resize(logits, size=out_hw, method="bilinear")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def predict(variables, img):
+        logits, _n = compact(variables, img)
+        return _finish(logits)
+
+    return predict
+
+
 def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
                     tta: bool = False):
     """Dispatch on test_cfg.mode (reference inference modes, SURVEY §3.2).
     tta wraps the predictor with flip(+scales) averaging (eval/tta.py)."""
     mode = (test_cfg or {}).get("mode", "whole")
-    if mode == "ms_slide_inference":
+    if mode == "ms_slide_inference" and (test_cfg or {}).get("gate") == "compact":
+        base = make_compact_ms_predict_fn(model, test_cfg, out_hw)
+    elif mode == "ms_slide_inference":
         base = make_ms_predict_fn(model, test_cfg, out_hw)
     elif mode in ("slide", "lr_slide_inference", "hr_slide_inference"):
         base = make_slide_predict_fn(model, test_cfg, out_hw)
