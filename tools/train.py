@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--backbone-init", default=None,
                    help="converted backbone weights (.npz from tools/convert_*)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() (the "
+                        "jax-native replacement for torch.distributed.launch, "
+                        "SURVEY §5.8)")
     return p.parse_args()
 
 
@@ -36,6 +40,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     import numpy as np
 
@@ -151,11 +158,52 @@ def main():
     else:
         step_fn = make_train_step(model, optimizer)
     sched = cfg.get("schedule", {})
+
+    # ---- periodic validation (reference val_interval, SURVEY §4.2) ----
+    val_fn = None
+    val_sets = cfg.get_path("data.val") or []
+    if val_sets and sched.get("val_interval", 0):
+        from vfmseg_tpu.core.registry import DATASETS as _DS
+        from vfmseg_tpu.data.transforms import TestPipeline
+        from vfmseg_tpu.eval.evaluator import make_predict_fn
+        from vfmseg_tpu.eval.metrics import IoUAccumulator
+        from vfmseg_tpu.train.optim import merge_params as _mp
+
+        val_keys = [d.get("key", f"val{i}") for i, d in enumerate(val_sets)]
+        val_datasets = [
+            _DS.build({k: v for k, v in dict(d).items() if k != "key"})
+            for d in val_sets
+        ]
+        wh = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
+        val_pipe = TestPipeline(resize_scale_wh=wh)
+        max_val = cfg.get_path("data.val_max_images", 50)
+
+        def val_fn(state):
+            variables = {"params": _mp(state.trainable, state.frozen)}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            acc = IoUAccumulator(num_classes=cfg.get("num_classes", 19),
+                                 dataset_keys=val_keys,
+                                 mean_used_keys=val_keys)
+            for key, ds in zip(val_keys, val_datasets):
+                sample = ds[0]
+                out_hw = (sample["label"].shape if "label" in sample
+                          else (wh[1], wh[0]))
+                predict = make_predict_fn(model, cfg.get("test_cfg", {}),
+                                          out_hw=out_hw)
+                for i in range(min(max_val, len(ds))):
+                    raw = ds[i]
+                    proc = val_pipe(raw["img"], raw.get("label"))
+                    pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
+                    acc.update(pred, proc["label"], key)
+            return acc.compute()
+
     train_loop(
         state, step_fn, iter(loader), max_iters=max_iters, work_dir=work_dir,
         rng=rng, log_interval=sched.get("log_interval", 50),
         checkpoint_interval=sched.get("checkpoint_interval", 4000),
         max_keep_ckpts=sched.get("max_keep_ckpts", 3),
+        val_interval=sched.get("val_interval", 0), val_fn=val_fn,
         resume=args.resume)
     loader.close()
 

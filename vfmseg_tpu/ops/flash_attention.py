@@ -1,16 +1,16 @@
-"""Pallas TPU flash-attention (forward) with an XLA-recompute backward.
+"""Pallas TPU flash attention: forward + backward kernels.
 
 Replaces the reference's xformers ``memory_efficient_attention`` CUDA kernel
 (rein/models/backbones/dino_layers/attention.py:72-90). ViT segmentation
 workloads have short sequences (1025 tokens for a 512^2 crop at patch 16,
 ~2049 for a 512x1024 whole-image pass) and head_dim 64/80/128, so the whole
-K/V stream for one (batch, head) fits comfortably in VMEM; the kernel tiles
-queries on the grid and streams K/V blocks with an online-softmax accumulator.
+K/V stream for one (batch, head) fits comfortably in VMEM; the forward tiles
+queries on the grid and streams K/V blocks with an online-softmax
+accumulator, also emitting the per-row log-sum-exp.
 
-The backward pass recomputes attention with plain XLA ops via jax.custom_vjp:
-at these sequence lengths the full [B,H,Nq,Nk] probability tensor is small
-(tens of MB), so a hand-written backward kernel is not the bottleneck —
-training time is dominated by the 24-block matmuls.
+The backward is the standard two-kernel flash scheme: dQ on a query-block
+grid and dK/dV on a kv-block grid, both recomputing probabilities from the
+saved LSE so no [N, N] tensor ever materializes in HBM.
 """
 
 from __future__ import annotations
@@ -23,14 +23,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vfmseg_tpu.ops.attention import xla_attention
-
 _NEG_INF = float("-inf")
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                      block_k: int):
-    # refs are [1, 1, n, d] blocks of the [B, H, N, D] operands: the last two
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                kv_len: int, block_k: int):
+    # refs are [1, 1, n, d] blocks of [B, H, N, D] operands: the last two
     # dims (seq, head_dim) satisfy Mosaic's (8, 128)-or-full tiling rule
     q = q_ref[0, 0, :, :].astype(jnp.float32)  # [bq, d]
     block_q, d = q.shape
@@ -59,32 +65,30 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         )
         return m_new, l_new, acc_new
 
-    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    safe_l = jnp.maximum(l, 1e-37)
+    o_ref[0, 0, :, :] = (acc / safe_l).astype(o_ref.dtype)
+    lse_ref[0, 0, :, :] = m + jnp.log(safe_l)  # [bq, 1]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _flash_forward(q, k, v, scale: float) -> jax.Array:
+def _flash_forward(q, k, v, scale: float):
+    """[B, N, H, D] inputs -> (out [B, N, H, D], lse [B, H, Nq_pad, 1],
+    padded operands in [B, H, N_pad, D])."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
     block_q = min(512, _round_up(nq, 8))
     block_k = min(512, _round_up(nk, 8))
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
-    # [B, N, H, D] -> [B, H, N_pad, D]: blocks end in (seq, head_dim), which
-    # satisfies Mosaic tiling; XLA fuses the transpose into the producer
+    # [B, N, H, D] -> [B, H, N_pad, D]; XLA fuses the transpose upstream
     qp = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
     kp = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
     vp = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
 
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, kv_len=nk, block_k=block_k
-    )
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=nk,
+                               block_k=block_k)
     grid = (b, h, nq_pad // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -95,33 +99,198 @@ def _flash_forward(q, k, v, scale: float) -> jax.Array:
             pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, nq_pad, 1), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq_pad * nk_pad * d,
             bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
     )(qp, kp, vp)
-    return out[:, :, :nq].transpose(0, 2, 1, 3)
+    return out[:, :, :nq].transpose(0, 2, 1, 3), lse, (qp, kp, vp)
+
+
+# --------------------------------------------------------------------------
+# backward: dQ kernel (query-block grid) and dK/dV kernel (kv-block grid)
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   scale: float, kv_len: int, block_k: int):
+    q = q_ref[0, 0, :, :].astype(jnp.float32)
+    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :, :]            # [bq, 1]
+    delta = delta_ref[0, 0, :, :]        # [bq, 1]
+    block_q, d = q.shape
+    kv_pad = k_ref.shape[2]
+    num_kv = kv_pad // block_k
+
+    def body(j, dq):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)             # rows with lse=+inf give p=0
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kv, body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, q_len: int,
+                    block_q: int):
+    k = k_ref[0, 0, :, :].astype(jnp.float32)   # [bk, d]
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    block_k, d = k.shape
+    q_pad = q_ref.shape[2]
+    num_q = q_pad // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                      # [bq, bk]
+        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.exp(s - lse)
+        p = jnp.where(row < q_len, p, 0.0)             # padded queries
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_q, body,
+        (jnp.zeros((block_k, d), jnp.float32),
+         jnp.zeros((block_k, d), jnp.float32)))
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
+    """Padded [B, H, N_pad, D] residuals + grad -> (dq, dk, dv) unpadded
+    [B, N, H, D]."""
+    b, h, nq_pad, d = qp.shape
+    nk_pad = kp.shape[2]
+    block_q = min(512, nq_pad)
+    block_k = min(512, nk_pad)
+
+    gp = jnp.pad(g.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
+    # delta = rowsum(dO * O) (padded rows -> 0); lse padded rows -> +inf so
+    # the recomputed probabilities vanish
+    delta = jnp.sum(gp.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    row_ids = jnp.arange(nq_pad)[None, None, :, None]
+    lse = jnp.where(row_ids < nq, lse, jnp.inf)
+
+    common_specs = [
+        pl.BlockSpec((1, 1, nq_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # q (full)
+        pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # k (full)
+        pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # v (full)
+        pl.BlockSpec((1, 1, nq_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # do (full)
+        pl.BlockSpec((1, 1, nq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # lse (full)
+        pl.BlockSpec((1, 1, nq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),  # delta (full)
+    ]
+
+    dq_specs = list(common_specs)
+    dq_specs[0] = pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM)
+    dq_specs[3] = pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM)
+    dq_specs[4] = pl.BlockSpec((1, 1, block_q, 1),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM)
+    dq_specs[5] = pl.BlockSpec((1, 1, block_q, 1),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=(b, h, nq_pad // block_q),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+    )(qp, kp, vp, gp, lse, delta)
+
+    dkv_specs = list(common_specs)
+    dkv_specs[1] = pl.BlockSpec((1, 1, block_k, d),
+                                lambda bi, hi, i: (bi, hi, i, 0),
+                                memory_space=pltpu.VMEM)
+    dkv_specs[2] = pl.BlockSpec((1, 1, block_k, d),
+                                lambda bi, hi, i: (bi, hi, i, 0),
+                                memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
+                          block_q=block_q),
+        grid=(b, h, nk_pad // block_k),
+        in_specs=dkv_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, vp.dtype)),
+    )(qp, kp, vp, gp, lse, delta)
+
+    dq = dq[:, :, :nq].transpose(0, 2, 1, 3)
+    dk = dk[:, :, :nk].transpose(0, 2, 1, 3)
+    dv = dv[:, :, :nk].transpose(0, 2, 1, 3)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale: float):
-    return _flash_forward(q, k, v, scale)
+    out, _, _ = _flash_forward(q, k, v, scale)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, scale: float):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse, (qp, kp, vp) = _flash_forward(q, k, v, scale)
+    nq_pad = qp.shape[2]
+    out_pad = jnp.pad(out.transpose(0, 2, 1, 3),
+                      ((0, 0), (0, 0), (0, nq_pad - out.shape[1]), (0, 0)))
+    return out, (qp, kp, vp, lse, out_pad, q.shape[1], k.shape[1])
 
 
 def _flash_bwd_rule(scale: float, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale=scale), q, k, v)
-    return vjp(g)
+    qp, kp, vp, lse, out_pad, nq, nk = res
+    return _flash_backward(qp, kp, vp, lse, out_pad, g, scale, nq, nk)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
