@@ -198,12 +198,45 @@ def main():
                     acc.update(pred, proc["label"], key)
             return acc.compute()
 
+    # ---- periodic debug image dumps (reference class_mix_debug grids) --
+    debug_interval = cfg.get_path("log_config.img_interval", 0) or sched.get(
+        "debug_interval", 0)
+    debug_fn = None
+    if debug_interval:
+        from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
+        from vfmseg_tpu.train.optim import merge_params as _mp2
+        from vfmseg_tpu.utils.visualization import (
+            denormalize_image, save_debug_grid)
+
+        def debug_fn(state, batch, step):
+            variables = {"params": _mp2(state.trainable, state.frozen)}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            img = jnp.asarray(batch["img"][:1])
+            if isinstance(model, MsVFMSegmentor):
+                logits = model.apply(variables, img,
+                                     method=MsVFMSegmentor.lr_forward)
+            elif hasattr(type(model), "encode_decode"):
+                logits = model.apply(variables, img,
+                                     method=type(model).encode_decode)
+            else:
+                return
+            pred = np.asarray(jnp.argmax(logits, -1))[0]
+            panels = {
+                "image": denormalize_image(np.asarray(batch["img"][0])),
+                "gt": np.asarray(batch["label"][0]),
+                "pred": pred,
+            }
+            save_debug_grid(os.path.join(work_dir, "class_mix_debug"),
+                            step, panels, cols=3)
+
     train_loop(
         state, step_fn, iter(loader), max_iters=max_iters, work_dir=work_dir,
         rng=rng, log_interval=sched.get("log_interval", 50),
         checkpoint_interval=sched.get("checkpoint_interval", 4000),
         max_keep_ckpts=sched.get("max_keep_ckpts", 3),
         val_interval=sched.get("val_interval", 0), val_fn=val_fn,
+        debug_interval=debug_interval, debug_fn=debug_fn,
         resume=args.resume)
     loader.close()
 

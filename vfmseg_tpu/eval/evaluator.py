@@ -111,15 +111,61 @@ def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     return predict
 
 
+def make_msvfm_mode_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
+                               mode: str):
+    """MsVFM's remaining inference modes (Ms_VFM_encoder_decoder.py:278-332):
+    lr_slide (0.5x slide then 2x upsample), hr_slide (full-res slide of the
+    coarse head), msfull_slide (stage-1 via slide instead of whole)."""
+    crop = tuple(test_cfg.get("crop_size", (512, 512)))
+    stride = tuple(test_cfg.get("stride", (320, 320)))
+
+    @jax.jit
+    def predict(variables, img):
+        def lr_fn(x):
+            return model.apply(variables, x, method=MsVFMSegmentor.lr_forward)
+
+        def hr_fn(crops, ctx):
+            return model.apply(variables, crops, ctx, False, False,
+                               method=MsVFMSegmentor.hr_forward)
+
+        if mode == "lr_slide_inference":
+            small = resize(img, scale_factor=0.5, method="bilinear")
+            logits = slide_inference(lr_fn, small, crop, stride)
+            logits = resize(logits, scale_factor=2.0, method="bilinear")
+        elif mode == "hr_slide_inference":
+            logits = slide_inference(lr_fn, img, crop, stride)
+        else:  # msfull_slide_inference: stage-1 slide at half res (:288-294)
+            small = resize(img, size=tuple(test_cfg.get(
+                "lr_img_size", (512, 1024))), method="bilinear")
+            stage1 = slide_inference(lr_fn, small, crop, stride)
+            full = resize(stage1, size=img.shape[1:3], method="bilinear")
+            from vfmseg_tpu.eval.slide import (
+                accumulate_crops, compute_slide_grid, extract_crops)
+
+            boxes = compute_slide_grid(img.shape[1:3], crop, stride)
+            img_crops = extract_crops(img, boxes, crop)
+            ctx_crops = extract_crops(full, boxes, crop)
+            refined = hr_fn(img_crops, ctx_crops)
+            logits = accumulate_crops(refined, boxes, img.shape[1:3])
+        logits = resize(logits, size=out_hw, method="bilinear")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
 def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
                     tta: bool = False):
     """Dispatch on test_cfg.mode (reference inference modes, SURVEY §3.2).
     tta wraps the predictor with flip(+scales) averaging (eval/tta.py)."""
     mode = (test_cfg or {}).get("mode", "whole")
+    is_msvfm = isinstance(model, MsVFMSegmentor)
     if mode == "ms_slide_inference" and (test_cfg or {}).get("gate") == "compact":
         base = make_compact_ms_predict_fn(model, test_cfg, out_hw)
     elif mode == "ms_slide_inference":
         base = make_ms_predict_fn(model, test_cfg, out_hw)
+    elif is_msvfm and mode in ("lr_slide_inference", "hr_slide_inference",
+                               "msfull_slide_inference"):
+        base = make_msvfm_mode_predict_fn(model, test_cfg, out_hw, mode)
     elif mode in ("slide", "lr_slide_inference", "hr_slide_inference"):
         base = make_slide_predict_fn(model, test_cfg, out_hw)
     else:

@@ -57,6 +57,8 @@ def train_loop(
     max_keep_ckpts: int = 3,
     val_interval: int = 0,
     val_fn: Optional[Callable] = None,
+    debug_interval: int = 0,
+    debug_fn: Optional[Callable] = None,
     resume: bool = False,
 ) -> TrainState:
     ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
@@ -82,4 +84,7 @@ def train_loop(
         if val_interval and val_fn is not None and (it + 1) % val_interval == 0:
             results = val_fn(state)
             logger.write(it + 1, results, prefix="val")
+        if debug_interval and debug_fn is not None and (it + 1) % debug_interval == 0:
+            # reference log_config.img_interval debug dumps (SURVEY §5.5)
+            debug_fn(state, batch, it + 1)
     return state
