@@ -92,6 +92,7 @@ def ms_slide_inference(
     threshold: float = 0.968,
     conf: float = 0.8,
     align_corners: bool = False,
+    crop_sharding=None,
 ) -> jax.Array:
     """Two-stage coarse-to-fine inference (ms_inference, reference :400-466).
 
@@ -115,6 +116,11 @@ def ms_slide_inference(
     g, b = len(boxes), img.shape[0]
     img_crops = extract_crops(img, boxes, crop)            # [G*B, ch, cw, 3]
     ctx_crops = extract_crops(full_logits, boxes, crop)    # [G*B, ch, cw, C]
+    if crop_sharding is not None:
+        # shard the crop batch over the data axis: the natural multi-chip
+        # axis for eval throughput (SURVEY §5.7)
+        img_crops = jax.lax.with_sharding_constraint(img_crops, crop_sharding)
+        ctx_crops = jax.lax.with_sharding_constraint(ctx_crops, crop_sharding)
 
     probs = jax.nn.softmax(ctx_crops.astype(jnp.float32), axis=-1)
     confidence = jnp.mean(
