@@ -25,30 +25,32 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
 
     def test_flash_matches_xla_interpret(self):
-        # CPU runs the Pallas kernel in interpreter mode automatically? No —
-        # use the XLA-bwd custom-vjp wrapper through interpret via CPU lowering.
+        """Pallas forward kernel in interpreter mode (runs on CPU CI; the
+        real-TPU check lives in the verify skill)."""
+        from jax.experimental.pallas import tpu as pltpu
+
         q, k, v = (_rand(i + 10, (1, 130, 2, 16)) for i in range(3))
-        try:
+        with pltpu.force_tpu_interpret_mode():
             out = flash_attention(q, k, v)
-        except Exception:
-            pytest.skip("pallas kernel not executable on this backend")
         ref = xla_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
     def test_flash_grad_matches_xla(self):
-        q, k, v = (_rand(i + 20, (1, 64, 2, 16)) for i in range(3))
+        """Both backward kernels (dQ and dK/dV) in interpreter mode,
+        including a non-block-aligned sequence length (padded rows)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        q, k, v = (_rand(i + 20, (2, 77, 2, 16)) for i in range(3))
 
         def f_flash(q, k, v):
-            try:
-                return jnp.sum(flash_attention(q, k, v) ** 2)
-            except Exception:
-                pytest.skip("pallas kernel not executable on this backend")
+            return jnp.sum(flash_attention(q, k, v) ** 2)
 
         def f_xla(q, k, v):
             return jnp.sum(xla_attention(q, k, v) ** 2)
 
-        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
         g2 = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -5,6 +5,15 @@ from vfmseg_tpu.models.heads.transformer import (
     TransformerDecoder,
 )
 from vfmseg_tpu.models.heads.vfm_head import VFMHead
+from vfmseg_tpu.models.heads.attention_head import AttentionHead
+from vfmseg_tpu.models.heads.daformer import ASPPModule, DAFormerHead
+from vfmseg_tpu.models.heads.dino_head import DINOHead
+from vfmseg_tpu.models.heads.mask2former import (
+    Mask2FormerHead,
+    MSDeformAttnPixelDecoder,
+    semantic_inference,
+)
+from vfmseg_tpu.models.heads.segformer import SegformerHead
 
 __all__ = [
     "LinearHead",
@@ -12,4 +21,12 @@ __all__ = [
     "CrossAttention",
     "TransformerDecoder",
     "VFMHead",
+    "AttentionHead",
+    "ASPPModule",
+    "DAFormerHead",
+    "DINOHead",
+    "Mask2FormerHead",
+    "MSDeformAttnPixelDecoder",
+    "semantic_inference",
+    "SegformerHead",
 ]
