@@ -237,6 +237,7 @@ def main():
         max_keep_ckpts=sched.get("max_keep_ckpts", 3),
         val_interval=sched.get("val_interval", 0), val_fn=val_fn,
         debug_interval=debug_interval, debug_fn=debug_fn,
+        save_best=sched.get("save_best"),
         resume=args.resume)
     loader.close()
 

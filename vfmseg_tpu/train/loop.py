@@ -59,10 +59,12 @@ def train_loop(
     val_fn: Optional[Callable] = None,
     debug_interval: int = 0,
     debug_fn: Optional[Callable] = None,
+    save_best: Optional[str] = None,
     resume: bool = False,
 ) -> TrainState:
     ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
     logger = MetricLogger(work_dir)
+    best_metric = float("-inf")
     if resume:
         state = ckpt.restore(state)
 
@@ -84,6 +86,16 @@ def train_loop(
         if val_interval and val_fn is not None and (it + 1) % val_interval == 0:
             results = val_fn(state)
             logger.write(it + 1, results, prefix="val")
+            if save_best and results.get(save_best, float("-inf")) > best_metric:
+                # reference CheckpointHook save_best='citys_mIoU' behavior
+                best_metric = results[save_best]
+                from vfmseg_tpu.train.checkpoint import save_pytree
+
+                save_pytree(os.path.join(work_dir, "checkpoints",
+                                         "best.trainable.npz"),
+                            {"t": state.trainable})
+                logger.log(f"[val] new best {save_best}={best_metric:.2f} "
+                           f"-> checkpoints/best.trainable.npz")
         if debug_interval and debug_fn is not None and (it + 1) % debug_interval == 0:
             # reference log_config.img_interval debug dumps (SURVEY §5.5)
             debug_fn(state, batch, it + 1)
