@@ -46,7 +46,7 @@ def main():
     from vfmseg_tpu.core.registry import DATASETS
     from vfmseg_tpu.data.transforms import TestPipeline
     from vfmseg_tpu.eval.evaluator import evaluate, make_predict_fn
-    from vfmseg_tpu.eval.metrics import IoUAccumulator
+    from vfmseg_tpu.eval.metrics import CITYSCAPES_CLASSES, IoUAccumulator
     from vfmseg_tpu.models.build import build_segmentor
     from vfmseg_tpu.train.checkpoint import load_pytree
     from vfmseg_tpu.train.optim import merge_params
@@ -78,8 +78,10 @@ def main():
 
     test_sets = cfg.get_path("data.test") or cfg.get_path("data.val") or []
     keys = [d.get("key", f"set{i}") for i, d in enumerate(test_sets)]
-    acc = IoUAccumulator(num_classes=cfg.get("num_classes", 19),
-                         dataset_keys=keys, mean_used_keys=keys)
+    num_classes = cfg.get("num_classes", 19)
+    acc = IoUAccumulator(
+        num_classes=num_classes, dataset_keys=keys, mean_used_keys=keys,
+        class_names=CITYSCAPES_CLASSES if num_classes == 19 else None)
     wh = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
     pipeline = TestPipeline(resize_scale_wh=wh)
 
@@ -115,6 +117,12 @@ def main():
                     os.path.join(args.show_dir, key, name))
 
     results = acc.compute()
+    # per-dataset per-class IoU tables (reference DGIoUMetric printout)
+    for key in list(acc._acc):
+        table = acc.per_class_iou(key)
+        print(f"--- {key} per-class IoU ---")
+        for name, iou in table.items():
+            print(f"  {name:>15s}: {iou}")
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
