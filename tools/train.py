@@ -97,7 +97,8 @@ def main():
     img0 = jnp.zeros((dcfg.get("batch_size", 2),) + crop_hw + (3,), dtype)
     lab0 = jnp.zeros((dcfg.get("batch_size", 2),) + crop_hw, jnp.int32)
     variables = model.init(
-        {"params": rng, "crop": rng, "mask": rng, "dropout": rng}, img0, lab0)
+        {"params": rng, "crop": rng, "mask": rng, "dropout": rng,
+         "augment": rng}, img0, lab0)
     params = variables["params"]
 
     if args.backbone_init:

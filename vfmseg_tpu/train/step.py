@@ -26,7 +26,7 @@ def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     *,
-    rng_names: Tuple[str, ...] = ("crop", "mask", "dropout"),
+    rng_names: Tuple[str, ...] = ("crop", "mask", "dropout", "augment"),
     donate: bool = True,
 ) -> Callable:
     """Build a jitted two-scale train step for a segmentor module whose
