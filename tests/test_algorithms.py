@@ -94,6 +94,114 @@ class TestDomainGeneral:
         assert np.isfinite(float(losses["mask.decode.loss_ce"]))
 
 
+class TestDGInference:
+    """DomainGeneral-wrapped models must be evaluable end-to-end (reference
+    Wrapper.py:24-45 delegates predict to the inner model)."""
+
+    def _wrapped_msvfm(self):
+        from test_models import build_tiny_msvfm
+
+        model = DomainGeneral(model=build_tiny_msvfm(), enable_mask_loss=True,
+                              mask_block_size=16)
+        img = jax.random.normal(K(0), (1, 128, 128, 3))
+        labels = jax.random.randint(K(1), (1, 128, 128), 0, 5)
+        variables = model.init(
+            {"params": K(2), "crop": K(3), "mask": K(4), "dropout": K(5),
+             "augment": K(6)}, img, labels)
+        return model, variables
+
+    def test_ms_slide_predict_on_wrapper(self):
+        from vfmseg_tpu.eval.evaluator import make_predict_fn
+
+        model, variables = self._wrapped_msvfm()
+        test_cfg = dict(mode="ms_slide_inference", threshold=0.968, conf=0.8,
+                        lr_img_size=(64, 64), stride=(32, 32),
+                        crop_size=(64, 64))
+        predict = make_predict_fn(model, test_cfg, out_hw=(128, 128))
+        img = jax.random.normal(K(7), (1, 128, 128, 3))
+        pred = predict(variables, img)
+        assert pred.shape == (1, 128, 128)
+        assert int(pred.max()) < 5
+
+    def test_wrapper_matches_inner_model_prediction(self):
+        from vfmseg_tpu.eval.evaluator import make_predict_fn, unwrap_model
+
+        model, variables = self._wrapped_msvfm()
+        inner, rescope = unwrap_model(model)
+        test_cfg = dict(mode="ms_slide_inference", threshold=0.968, conf=0.8,
+                        lr_img_size=(64, 64), stride=(32, 32),
+                        crop_size=(64, 64))
+        img = jax.random.normal(K(8), (1, 128, 128, 3))
+        wrapped = make_predict_fn(model, test_cfg, out_hw=(128, 128))(
+            variables, img)
+        direct = make_predict_fn(inner, test_cfg, out_hw=(128, 128))(
+            rescope(variables), img)
+        np.testing.assert_array_equal(np.asarray(wrapped), np.asarray(direct))
+
+    def test_compact_gate_predict_on_wrapper(self):
+        from vfmseg_tpu.eval.evaluator import make_predict_fn
+
+        model, variables = self._wrapped_msvfm()
+        test_cfg = dict(mode="ms_slide_inference", gate="compact",
+                        threshold=0.968, conf=0.8, lr_img_size=(64, 64),
+                        stride=(32, 32), crop_size=(64, 64))
+        predict = make_predict_fn(model, test_cfg, out_hw=(128, 128))
+        pred = predict(variables, jax.random.normal(K(9), (1, 128, 128, 3)))
+        assert pred.shape == (1, 128, 128)
+
+    def test_trainable_partition_under_wrapper(self):
+        """The ViT must stay frozen when nested under model/ (peft surgery
+        applies to the inner backbone, reference lora_backbone.py:37-41)."""
+        model, variables = self._wrapped_msvfm()
+        pred = trainable_predicate(peft=True)
+        trainable, frozen = partition_params(variables["params"], pred)
+        from flax.traverse_util import flatten_dict
+
+        frozen_paths = {"/".join(k) for k in flatten_dict(frozen)}
+        trainable_paths = {"/".join(k) for k in flatten_dict(trainable)}
+        assert any(p.startswith("model/backbone/") for p in frozen_paths)
+        assert not any("/backbone/" in p and "lora" not in p
+                       for p in trainable_paths)
+        assert any(p.startswith("model/decode_head/") for p in trainable_paths)
+
+    def test_resolve_backbone_prefix_and_merge(self):
+        from vfmseg_tpu.train.optim import (
+            merge_params, nest_under, resolve_backbone_prefix)
+
+        model, variables = self._wrapped_msvfm()
+        params = variables["params"]
+        prefix = resolve_backbone_prefix(params)
+        assert prefix == ("model", "backbone")
+        bb = params["model"]["backbone"]
+        marked = jax.tree_util.tree_map(lambda x: x + 1.0, bb)
+        merged = merge_params(nest_under(prefix, marked), params)
+        lhs = jax.tree_util.tree_leaves(merged["model"]["backbone"])
+        rhs = jax.tree_util.tree_leaves(marked)
+        assert all(np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(lhs, rhs))
+
+
+def test_reins_clip_fpn_is_trainable():
+    """reference reins_clip.py:87-90 trains ["fpn", "reins"]; the default
+    adapter keywords must cover the FPN pyramid."""
+    from vfmseg_tpu.core.registry import MODELS
+
+    backbone = MODELS.build(dict(
+        type="ReinsCLIPVisionTransformer",
+        reins_config=dict(type="LoRAReins", token_length=10, query_dims=16,
+                          lora_dim=4),
+        patch_size=16, width=32, layers=4, heads=2, input_resolution=64,
+        output_dim=32, out_indices=[0, 1, 2, 3]))
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = backbone.init({"params": K(0)}, img)
+    trainable, frozen = partition_params(
+        {"backbone": variables["params"]}, trainable_predicate(peft=True))
+    from flax.traverse_util import flatten_dict
+
+    t_paths = {"/".join(k) for k in flatten_dict(trainable)}
+    assert any("/fpn/" in p for p in t_paths), sorted(t_paths)[:5]
+
+
 class TestDACS:
     def test_dacs_step_updates_ema(self):
         model = _tiny_enc_dec()

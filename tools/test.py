@@ -64,7 +64,8 @@ def main():
     shapes = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0), "crop": jax.random.PRNGKey(1),
-             "mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+             "mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
+             "augment": jax.random.PRNGKey(4)},
             img0, lab0))
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), shapes)
@@ -72,7 +73,11 @@ def main():
     if args.checkpoint:
         params = merge_params(load_pytree(args.checkpoint)["t"], params)
     if args.backbone:
-        params = merge_params({"backbone": load_pytree(args.backbone)}, params)
+        from vfmseg_tpu.train.optim import nest_under, resolve_backbone_prefix
+
+        prefix = resolve_backbone_prefix(params)
+        params = merge_params(
+            nest_under(prefix, load_pytree(args.backbone)), params)
     variables = dict(variables)
     variables["params"] = params
 

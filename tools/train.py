@@ -102,9 +102,13 @@ def main():
     params = variables["params"]
 
     if args.backbone_init:
+        from vfmseg_tpu.train.optim import nest_under, resolve_backbone_prefix
+
         loaded = load_pytree(args.backbone_init)
-        params = merge_params({"backbone": loaded}, params)
-        print(f"loaded backbone weights from {args.backbone_init}")
+        prefix = resolve_backbone_prefix(params)
+        params = merge_params(nest_under(prefix, loaded), params)
+        print(f"loaded backbone weights from {args.backbone_init} "
+              f"-> {'/'.join(prefix)}")
 
     peft = cfg.get("peft", {})
     pred = trainable_predicate(
@@ -178,6 +182,9 @@ def main():
         wh = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
         val_pipe = TestPipeline(resize_scale_wh=wh)
         max_val = cfg.get_path("data.val_max_images", 50)
+        # build each dataset's jitted predict fn ONCE and reuse across val
+        # rounds — a fresh jit closure per round recompiles the full model
+        val_predicts = {}
 
         def val_fn(state):
             variables = {"params": _mp(state.trainable, state.frozen)}
@@ -187,11 +194,13 @@ def main():
                                  dataset_keys=val_keys,
                                  mean_used_keys=val_keys)
             for key, ds in zip(val_keys, val_datasets):
-                sample = ds[0]
-                out_hw = (sample["label"].shape if "label" in sample
-                          else (wh[1], wh[0]))
-                predict = make_predict_fn(model, cfg.get("test_cfg", {}),
-                                          out_hw=out_hw)
+                if key not in val_predicts:
+                    sample = ds[0]
+                    out_hw = (sample["label"].shape if "label" in sample
+                              else (wh[1], wh[0]))
+                    val_predicts[key] = make_predict_fn(
+                        model, cfg.get("test_cfg", {}), out_hw=out_hw)
+                predict = val_predicts[key]
                 for i in range(min(max_val, len(ds))):
                     raw = ds[i]
                     proc = val_pipe(raw["img"], raw.get("label"))
@@ -204,6 +213,7 @@ def main():
         "debug_interval", 0)
     debug_fn = None
     if debug_interval:
+        from vfmseg_tpu.eval.evaluator import unwrap_model
         from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
         from vfmseg_tpu.train.optim import merge_params as _mp2
         from vfmseg_tpu.utils.visualization import (
@@ -213,13 +223,16 @@ def main():
             variables = {"params": _mp2(state.trainable, state.frozen)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            inner, rescope = unwrap_model(model)
+            if rescope is not None:
+                variables = rescope(variables)
             img = jnp.asarray(batch["img"][:1])
-            if isinstance(model, MsVFMSegmentor):
-                logits = model.apply(variables, img,
+            if isinstance(inner, MsVFMSegmentor):
+                logits = inner.apply(variables, img,
                                      method=MsVFMSegmentor.lr_forward)
-            elif hasattr(type(model), "encode_decode"):
-                logits = model.apply(variables, img,
-                                     method=type(model).encode_decode)
+            elif hasattr(type(inner), "encode_decode"):
+                logits = inner.apply(variables, img,
+                                     method=type(inner).encode_decode)
             else:
                 return
             pred = np.asarray(jnp.argmax(logits, -1))[0]

@@ -28,6 +28,25 @@ from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
 from vfmseg_tpu.ops.resize import resize
 
 
+def unwrap_model(model):
+    """DomainGeneral delegates prediction to its inner model (reference
+    rein/models/Wrapper.py:24-45). Flax nests the inner params/batch_stats
+    under the 'model' scope, so return (inner, rescope) where rescope maps
+    wrapper-level variables to inner-level ones; (model, None) otherwise."""
+    from vfmseg_tpu.models.algorithms.dg import DomainGeneral
+
+    if isinstance(model, DomainGeneral):
+        def rescope(variables):
+            return {
+                col: (tree["model"]
+                      if isinstance(tree, dict) and "model" in tree else tree)
+                for col, tree in variables.items()
+            }
+
+        return model.model, rescope
+    return model, None
+
+
 def _msvfm_fns(model):
     def lr_fn(variables, x):
         return model.apply(variables, x, method=MsVFMSegmentor.lr_forward)
@@ -42,6 +61,11 @@ def _msvfm_fns(model):
 def make_logits_fn(model, test_cfg: Dict, mode: str) -> Callable:
     """(variables, img) -> logits at the input resolution, per mode
     (reference inference modes, Ms_VFM_encoder_decoder.py:278-332)."""
+    inner, rescope = unwrap_model(model)
+    if rescope is not None:
+        inner_fn = make_logits_fn(inner, test_cfg, mode)
+        return lambda variables, img: inner_fn(rescope(variables), img)
+
     test_cfg = test_cfg or {}
     crop = tuple(test_cfg.get("crop_size", (512, 512)))
     stride = tuple(test_cfg.get("stride", (341, 341)))
@@ -112,6 +136,11 @@ def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     """Gated two-phase ms_slide (eval/compact.py): identical outputs to the
     dense path, but only low-confidence windows are refined."""
     from vfmseg_tpu.eval.compact import CompactMsSlide
+
+    inner, rescope = unwrap_model(model)
+    if rescope is not None:
+        inner_predict = make_compact_ms_predict_fn(inner, test_cfg, out_hw)
+        return lambda variables, img: inner_predict(rescope(variables), img)
 
     lr_fn, hr_fn = _msvfm_fns(model)
     compact = CompactMsSlide(

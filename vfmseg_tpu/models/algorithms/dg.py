@@ -61,9 +61,18 @@ class DomainGeneral(nn.Module):
         losses.update(add_prefix(scaled, "mask"))
         return losses
 
-    # inference passthroughs
+    # inference passthroughs (reference Wrapper.py:24-45 delegates predict
+    # to the inner model; eval/evaluator.unwrap_model rescopes variables)
     def forward(self, img: jax.Array, train: bool = False):
         return self.model.forward(img, train=train)
 
     def encode_decode(self, img: jax.Array, train: bool = False):
         return self.model.encode_decode(img, train=train)
+
+    def lr_forward(self, img: jax.Array, train: bool = False):
+        return self.model.lr_forward(img, train=train)
+
+    def hr_forward(self, img: jax.Array, context_logits: jax.Array,
+                   train: bool = False, mask_enable: bool = True):
+        return self.model.hr_forward(img, context_logits, train=train,
+                                     mask_enable=mask_enable)

@@ -103,8 +103,13 @@ class CheckpointManager:
                     os.remove(os.path.join(self.dir, f))
 
 
-def compose_full_params(adapter_ckpt_path: str, backbone_params) -> Any:
+def compose_full_params(adapter_ckpt_path: str, backbone_params,
+                        prefix=("backbone",)) -> Any:
     """LoadBackboneHook equivalent: merge an adapter-only checkpoint with a
-    converted backbone param tree into full inference params."""
+    converted backbone param tree into full inference params. `prefix` is the
+    backbone subtree path — ("model", "backbone") under DomainGeneral
+    (see train/optim.resolve_backbone_prefix)."""
+    from vfmseg_tpu.train.optim import nest_under
+
     trainable = load_pytree(adapter_ckpt_path)["t"]
-    return merge_params(trainable, {"backbone": backbone_params})
+    return merge_params(trainable, nest_under(prefix, backbone_params))

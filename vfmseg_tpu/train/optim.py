@@ -33,8 +33,10 @@ NO_DECAY_KEYWORDS: Tuple[str, ...] = (
 )
 
 # Reference freezing policies (SURVEY §3.1, §3.3): inside the backbone only
-# adapter params train; heads always train fully.
-ADAPTER_KEYWORDS: Tuple[str, ...] = ("lora", "reins")
+# adapter params train; heads always train fully. "fpn" covers ReinsCLIP,
+# whose pyramid trains alongside the adapters (reins_clip.py:87-90); no other
+# backbone has fpn-named params, so it is harmless elsewhere.
+ADAPTER_KEYWORDS: Tuple[str, ...] = ("lora", "reins", "fpn")
 
 
 def _flat(params) -> Dict[str, jax.Array]:
@@ -57,12 +59,34 @@ def trainable_predicate(
     def pred(path: str) -> bool:
         if not peft:
             return True
-        if path.startswith(backbone_prefix):
+        # match the backbone scope at any depth: wrappers such as
+        # DomainGeneral nest the segmentor under "model/", so paths look like
+        # "model/backbone/..." (reference Wrapper.py delegates; freezing must
+        # still apply to the inner backbone).
+        if backbone_prefix in path.split("/"):
             return any(k in path for k in adapter_keywords) or any(
                 k in path for k in extra_trainable)
         return True
 
     return pred
+
+
+def resolve_backbone_prefix(params, backbone_key: str = "backbone"):
+    """Path segments leading to the backbone subtree: ("backbone",) on a bare
+    segmentor, ("model", "backbone") under the DomainGeneral wrapper."""
+    if backbone_key in params:
+        return (backbone_key,)
+    for k, v in params.items():
+        if isinstance(v, dict) and backbone_key in v:
+            return (k, backbone_key)
+    return (backbone_key,)
+
+
+def nest_under(prefix, tree):
+    """Wrap `tree` in nested dicts along `prefix` segments."""
+    for seg in reversed(tuple(prefix)):
+        tree = {seg: tree}
+    return tree
 
 
 def partition_params(params, pred: Callable[[str], bool]):
