@@ -58,6 +58,87 @@ def test_manager_save_restore_prune(tmp_path):
         np.asarray(restored.frozen["backbone"]["w"]), 1.0)
 
 
+def test_resume_restores_optimizer_exactly(tmp_path):
+    """train-4 -> save -> fresh state -> restore -> train-4 must equal
+    train-8: Adam moments AND the schedule position (step count) survive
+    (mmengine resume semantics, reference tools/train.py:104-105)."""
+    import optax
+
+    from vfmseg_tpu.train.optim import make_optimizer
+
+    def fresh():
+        trainable = {"head": {"w": jnp.full((4, 4), 0.7)}}
+        optimizer = make_optimizer(trainable, base_lr=0.1, max_steps=8,
+                                   weight_decay=0.01)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), trainable=trainable, frozen={},
+            batch_stats={}, opt_state=optimizer.init(trainable))
+        return state, optimizer
+
+    target = jnp.ones((4, 4))
+
+    def run(state, optimizer, n):
+        losses = []
+        for _ in range(n):
+            def loss_fn(t):
+                return jnp.mean((t["head"]["w"] - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            state = state.replace(step=state.step + 1, trainable=trainable,
+                                  opt_state=opt_state)
+            losses.append(float(loss))
+        return state, losses
+
+    # straight 8-step run
+    state_a, optimizer = fresh()
+    _, losses_8 = run(state_a, optimizer, 8)
+
+    # 4 steps -> checkpoint -> restore into a FRESH state -> 4 more
+    state_b, optimizer = fresh()
+    state_b, losses_first4 = run(state_b, optimizer, 4)
+    mgr = CheckpointManager(str(tmp_path), max_keep=2)
+    mgr.save(state_b)
+
+    state_c, optimizer = fresh()
+    state_c = mgr.restore(state_c)
+    assert int(state_c.step) == 4
+    # Adam count restored -> PolyLR resumes mid-schedule, not at base lr
+    counts = [np.asarray(x) for x in jax.tree_util.tree_leaves(state_c.opt_state)
+              if np.asarray(x).ndim == 0 and np.asarray(x).dtype == np.int32]
+    assert any(int(c) == 4 for c in counts)
+    _, losses_resumed = run(state_c, optimizer, 4)
+
+    np.testing.assert_allclose(losses_resumed, losses_8[4:], rtol=1e-6)
+    assert losses_first4 == losses_8[:4]
+
+
+def test_resume_opt_leaf_mismatch_raises(tmp_path):
+    import optax
+
+    trainable = {"head": {"w": jnp.ones((2, 2))}}
+    tx_a = optax.adam(1e-3)
+    state = TrainState(step=jnp.asarray(3, jnp.int32), trainable=trainable,
+                       frozen={}, batch_stats={},
+                       opt_state=tx_a.init(trainable))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(state)
+
+    tx_b = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    other = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       frozen={}, batch_stats={},
+                       opt_state=tx_b.init(trainable))
+    import pytest
+
+    # same leaf count would silently misassign; different counts must raise
+    if len(jax.tree_util.tree_leaves(other.opt_state)) != len(
+            jax.tree_util.tree_leaves(state.opt_state)):
+        with pytest.raises(ValueError):
+            mgr.restore(other)
+
+
 def test_compose_full_params(tmp_path):
     path = str(tmp_path / "ckpt.npz")
     save_pytree(path, {"t": {"decode_head": {"w": np.ones((2,))},

@@ -57,6 +57,18 @@ class CheckpointManager:
             save_pytree(self._path(step, "batch_stats"), {"b": state.batch_stats})
         if state.ema is not None:
             save_pytree(self._path(step, "ema"), {"e": state.ema})
+        if state.opt_state is not None:
+            # optax states are namedtuple pytrees, not dicts — serialize the
+            # leaves positionally; restore unflattens into a freshly
+            # initialized state's treedef. Matches mmengine checkpoints
+            # carrying optimizer+scheduler state (reference tools/train.py
+            # --resume, :104-105): Adam moments and the PolyLR position
+            # survive a resume.
+            leaves = jax.tree_util.tree_leaves(state.opt_state)
+            if leaves:
+                np.savez(self._path(step, "opt"),
+                         **{f"leaf_{i:05d}": np.asarray(x)
+                            for i, x in enumerate(leaves)})
         if not light:
             save_pytree(self._path(step, "frozen"), {"f": state.frozen})
         self._prune()
@@ -86,10 +98,27 @@ class CheckpointManager:
         epath = self._path(step, "ema")
         if os.path.exists(epath):
             ema = load_pytree(epath)["e"]
+        opt_state = state.opt_state
+        opath = self._path(step, "opt")
+        if opt_state is not None and os.path.exists(opath):
+            data = np.load(opath, allow_pickle=False)
+            names = sorted(data.files)
+            ref = jax.tree_util.tree_leaves(opt_state)
+            if len(names) != len(ref):
+                raise ValueError(
+                    f"optimizer state in {opath} has {len(names)} leaves, "
+                    f"current optimizer expects {len(ref)} — did the "
+                    f"optimizer config change between save and resume?")
+            leaves = [
+                np.asarray(data[n], dtype=r.dtype).reshape(np.shape(r))
+                for n, r in zip(names, ref)
+            ]
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state), leaves)
         return state.replace(
             step=jax.numpy.asarray(step, jax.numpy.int32),
             trainable=trainable, frozen=frozen, batch_stats=batch_stats,
-            ema=ema)
+            ema=ema, opt_state=opt_state)
 
     def _prune(self) -> None:
         steps = sorted({
