@@ -1,0 +1,29 @@
+"""DG dataset combo: GTAV source, Cityscapes/BDD/Mapillary eval at 512 crop (reference configs/dg/datasets/dg_gta2citys_512x512.py)."""
+
+config = dict(
+    data=dict(
+        source=dict(type="GTADataset", data_root="data/gta"),
+        train_pipeline=dict(
+            resize_scale_wh=(1280, 720),
+            crop_size=(512, 512),
+            cat_max_ratio=0.75,
+            flip_prob=0.5,
+            photometric=True,
+        ),
+        rare_class_sampling=dict(class_temp=0.01, min_crop_ratio=0.5,
+                                 min_pixels=3000),
+        batch_size=2,
+        num_workers=4,
+        val=[
+            dict(type="CityscapesDataset", data_root="data/cityscapes",
+                 img_dir="leftImg8bit/val", ann_dir="gtFine/val", key="citys"),
+        ],
+        test=[
+            dict(type="CityscapesDataset", data_root="data/cityscapes",
+                 img_dir="leftImg8bit/val", ann_dir="gtFine/val", key="citys"),
+            dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd"),
+            dict(type="MapillaryDataset", data_root="data/mapillary", key="map"),
+        ],
+        test_resize_wh=(1024, 512),
+    ),
+)

@@ -1,17 +1,17 @@
-"""Model base: LoRA DINOV2 under the MsVFM two-scale masked-context scheme (reference configs/_base_/models/lora_dinov2_ms_masked.py)."""
+"""Model base: LoRA CLIP under the MsVFM two-scale masked-context scheme (reference configs/_base_/models/lora_clip_ms_masked.py)."""
 
 from vfmseg_tpu.models import presets as P
 
 
 def get_config():
-    d = P.FEAT_DIM["dinov2"]
+    d = P.FEAT_DIM["clip"]
     return dict(
         crop_size=(1024, 1024),
         num_classes=19,
         preprocessor=dict(P.PREPROCESSOR),
         model=dict(
             type="MsVFMEncoderDecoder",
-            backbone=P.lora_backbone("dinov2", img_size=512),
+            backbone=P.lora_backbone("clip", img_size=512),
             decode_head=P.linear_head(d, channels=256),
             aux_head=P.vfm_aux_head(d, channels=256, masked=True),
             detail_loss=1.0,

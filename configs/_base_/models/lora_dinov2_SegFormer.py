@@ -1,0 +1,23 @@
+"""Model base: LoRA DINOv2-L + SegformerHead (reference configs/_base_/models/lora_dinov2_SegFormer.py)."""
+
+from vfmseg_tpu.models import presets as P
+
+
+def get_config():
+    return dict(
+        crop_size=(512, 512),
+        num_classes=19,
+        preprocessor=dict(P.PREPROCESSOR),
+        model=dict(
+            type="LoraBackboneEncoderDecoder",
+            checkpoint=P.CHECKPOINTS["dinov2"],
+            Lora_config=dict(r=32, lora_alpha=32,
+                             target_modules=P.LORA_TARGETS["dinov2"],
+                             lora_dropout=0.1),
+            backbone=P.backbone("dinov2", img_size=512),
+            decode_head=P.segformer_head(1024),
+        ),
+        test_cfg=P.slide_test_cfg(crop=512, stride=341),
+        peft=dict(enabled=True, adapter_keywords=["lora"]),
+        compute=dict(dtype="bfloat16", attn_impl="auto"),
+    )

@@ -1,4 +1,4 @@
-"""Model base: LoRA DINOV2 under the MsVFM two-scale masked-context scheme (reference configs/_base_/models/lora_dinov2_ms_masked.py)."""
+"""Model base: LoRA DINOV2 under the MsVFM two-scale plain scheme (reference configs/_base_/models/lora_dinov2_ms.py)."""
 
 from vfmseg_tpu.models import presets as P
 
@@ -13,14 +13,14 @@ def get_config():
             type="MsVFMEncoderDecoder",
             backbone=P.lora_backbone("dinov2", img_size=512),
             decode_head=P.linear_head(d, channels=256),
-            aux_head=P.vfm_aux_head(d, channels=256, masked=True),
+            aux_head=P.vfm_aux_head(d, channels=256, masked=False),
             detail_loss=1.0,
             scales=[1, 0.5],
             hr_crop_size=(512, 512),
             crop_coord_divisible=32,
             feature_scale=0.5,
         ),
-        test_cfg=P.ms_test_cfg(masked=True),
+        test_cfg=P.ms_test_cfg(masked=False),
         peft=dict(enabled=True, adapter_keywords=["lora"]),
         compute=dict(dtype="bfloat16", attn_impl="auto"),
     )

@@ -23,6 +23,7 @@ from vfmseg_tpu.models.backbones.sam import (
     sam_tiny_for_tests,
     sam_vit_h,
 )
+from vfmseg_tpu.models.backbones.mit import MixVisionTransformer, build_mit
 from vfmseg_tpu.models.backbones.resnet import ResNetV1c, build_reins_resnet
 from vfmseg_tpu.models.backbones.rein_backbones import (
     build_reins_clip,

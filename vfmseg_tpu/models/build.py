@@ -57,6 +57,10 @@ def _build_head(cfg: Dict[str, Any], dtype, attn_impl: str):
     if kind == "SegformerHead":
         return SegformerHead(dtype=dtype, **kw)
     if kind == "DAFormerHead":
+        if "fusion" in cfg:
+            kw["fusion"] = cfg["fusion"]
+        if "dilations" in cfg:
+            kw["dilations"] = tuple(cfg["dilations"])
         return DAFormerHead(dtype=dtype, **kw)
     if kind == "DINOhead":
         return DINOHead(dtype=dtype, attn_impl=attn_impl, **kw)

@@ -47,10 +47,15 @@ class ASPPModule(nn.Module):
 
 @MODELS.register("DAFormerHead")
 class DAFormerHead(nn.Module):
+    """fusion="aspp" is the context-aware DAFormer (sepaspp base,
+    daformer_sepaspp_mitb5.py); fusion="conv1" is the plain 1x1-conv fusion
+    (daformer_conv1_mitb5.py — "SegF. with C_e=256")."""
+
     in_channels: Sequence[int] = (64, 128, 320, 512)
     channels: int = 256
     num_classes: int = 19
     dilations: Sequence[int] = (1, 6, 12, 18)
+    fusion: str = "aspp"
     dropout_ratio: float = 0.1
     align_corners: bool = False
     dtype: Any = jnp.float32
@@ -66,8 +71,9 @@ class DAFormerHead(nn.Module):
                            align_corners=self.align_corners)
             outs.append(x)
         x = jnp.concatenate(outs, axis=-1)
-        x = ASPPModule(self.channels, tuple(self.dilations), dtype=self.dtype,
-                       name="fuse_aspp")(x)
+        if self.fusion == "aspp":
+            x = ASPPModule(self.channels, tuple(self.dilations),
+                           dtype=self.dtype, name="fuse_aspp")(x)
         x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fuse_proj")(x)
         x = nn.GroupNorm(num_groups=gn_groups(self.channels), epsilon=1e-5,
                          dtype=self.dtype, name="fuse_gn")(x)

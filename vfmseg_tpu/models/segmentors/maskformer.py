@@ -26,12 +26,19 @@ class MaskFormerSegmentor(nn.Module):
     num_classes: int = 19
     num_points: int = 12544
     align_corners: bool = False
+    frozen_backbone: bool = False   # FrozenBackboneEncoderDecoder variant
 
     def _feats_queries(self, img, train: bool):
         out = self.backbone(img, deterministic=not train)
         if isinstance(out, tuple) and len(out) == 2 and not hasattr(out[0], "shape"):
-            return out
-        return out, None
+            feats, queries = out
+        else:
+            feats, queries = out, None
+        if self.frozen_backbone:
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+            if queries is not None:
+                queries = jax.lax.stop_gradient(queries)
+        return feats, queries
 
     def forward(self, img: jax.Array, train: bool = False) -> jax.Array:
         """Semantic logits at mask resolution (stride 4), NHWC."""
