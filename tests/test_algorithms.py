@@ -49,6 +49,29 @@ class TestAugment:
         assert mask.shape == (1, 2, 2)
         # mask values constant per class region
         assert set(np.unique(np.asarray(mask))) <= {0.0, 1.0}
+        # ignore pixels are never selected
+        assert float(mask[0, 1, 1]) == 0.0
+
+    def test_class_mix_masks_exact_half_subset(self):
+        """Exactly ceil(n/2) of the present classes are picked
+        (dacs_transforms.py:96-126 randperm semantics)."""
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            present = rng.choice(19, size=rng.integers(1, 10), replace=False)
+            # one pixel per present class, pad with ignore
+            flat = np.full(32 * 32, 255, np.int64)
+            flat[:len(present)] = present
+            # scatter a few more pixels of each class
+            for i, c in enumerate(present):
+                flat[len(present) + i * 3:(len(present) + i * 3) + 3] = c
+            labels = jnp.asarray(flat.reshape(1, 32, 32))
+            mask = np.asarray(class_mix_masks(K(trial), labels))
+            picked = {
+                int(c) for c in present
+                if mask[0][np.asarray(labels[0]) == c].max() == 1.0
+            }
+            n = len(present)
+            assert len(picked) == (n + 1) // 2, (present, picked)
 
     def test_one_mix(self):
         m = jnp.array([[[1.0, 0.0]]])

@@ -47,6 +47,26 @@ def test_compact_matches_dense():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stream_matches_dense_per_image():
+    """stream() (grouped stage-1 + pipelined gate) must give the same
+    per-image logits as the dense path."""
+    lr_fn, hr_fn = _fns()
+    images = [jax.random.normal(K(10 + i), (64, 64, 3)) for i in range(5)]
+
+    compact = CompactMsSlide(
+        lr_fn, hr_fn, crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8)
+    outs = list(compact.stream(None, images, group=2, depth=2))
+    assert len(outs) == 5
+    for im, out in zip(images, outs):
+        dense = ms_slide_inference(
+            lambda x: lr_fn(None, x), lambda c, t: hr_fn(None, c, t),
+            im[None], crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+            threshold=0.968, conf=0.8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_compact_all_confident_refines_nothing():
     def lr_fn(variables, x):
         return jnp.zeros(x.shape[:3] + (4,)).at[..., 1].set(100.0)

@@ -33,6 +33,10 @@ def parse_args():
                         "DGIoUMetric output_dir, rein/dg_metrics.py:60-72)")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--cfg-options", nargs="+", default=[])
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard the slide crop batch over an N-device 'data' "
+                        "mesh (multi-chip eval; replaces the reference's "
+                        "single-GPU TestLoop)")
     return p.parse_args()
 
 
@@ -96,8 +100,14 @@ def main():
         print(f"evaluating {key}: {len(dataset)} images")
         sample = dataset[0]
         out_hw = sample["label"].shape if "label" in sample else (wh[1], wh[0])
+        mesh = None
+        if args.data_parallel:
+            from vfmseg_tpu.parallel.mesh import make_mesh
+
+            n = min(args.data_parallel, len(jax.devices()))
+            mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
         predict = make_predict_fn(model, cfg.get("test_cfg", {}),
-                                  out_hw=out_hw, tta=args.tta)
+                                  out_hw=out_hw, tta=args.tta, mesh=mesh)
 
         def run_pipeline(img, label=None):
             out = pipeline(img, label)

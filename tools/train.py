@@ -219,30 +219,65 @@ def main():
         from vfmseg_tpu.utils.visualization import (
             denormalize_image, save_debug_grid)
 
+        if uda_cfg:
+            from vfmseg_tpu.train.uda import make_dacs_debug_fn
+
+            dacs_debug = make_dacs_debug_fn(model, dacs)
+        else:
+            dacs_debug = None
+
+        def _entropy(logits):
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return -jnp.sum(p * jnp.log(p + 1e-12), axis=-1) / jnp.log(
+                jnp.float32(p.shape[-1]))
+
         def debug_fn(state, batch, step):
+            """Reference-style class_mix_debug grids: image/gt/pred plus the
+            MsVFM lr/hr/refined/entropy panels
+            (Ms_VFM_encoder_decoder.py:202-265) and, under DACS, the
+            pseudo-label / mix-mask / mixed-sample / teacher-entropy panels
+            (dacs.py:310-362)."""
             variables = {"params": _mp2(state.trainable, state.frozen)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             inner, rescope = unwrap_model(model)
-            if rescope is not None:
-                variables = rescope(variables)
+            ivars = rescope(variables) if rescope is not None else variables
             img = jnp.asarray(batch["img"][:1])
-            if isinstance(inner, MsVFMSegmentor):
-                logits = inner.apply(variables, img,
-                                     method=MsVFMSegmentor.lr_forward)
-            elif hasattr(type(inner), "encode_decode"):
-                logits = inner.apply(variables, img,
-                                     method=type(inner).encode_decode)
-            else:
-                return
-            pred = np.asarray(jnp.argmax(logits, -1))[0]
             panels = {
                 "image": denormalize_image(np.asarray(batch["img"][0])),
                 "gt": np.asarray(batch["label"][0]),
-                "pred": pred,
             }
+            if isinstance(inner, MsVFMSegmentor):
+                lr_logits = inner.apply(ivars, img,
+                                        method=MsVFMSegmentor.lr_forward)
+                panels["lr_pred"] = np.asarray(jnp.argmax(lr_logits, -1))[0]
+                panels["lr_entropy"] = np.asarray(_entropy(lr_logits))[0]
+                # refined center crop conditioned on the (detached) lr logits
+                ch, cw = inner.hr_crop_size
+                y0 = (img.shape[1] - ch) // 2
+                x0 = (img.shape[2] - cw) // 2
+                crop = img[:, y0:y0 + ch, x0:x0 + cw]
+                ctx = lr_logits[:, y0:y0 + ch, x0:x0 + cw]
+                hr_logits = inner.apply(ivars, crop, ctx, False, False,
+                                        method=MsVFMSegmentor.hr_forward)
+                panels["hr_refined"] = np.asarray(jnp.argmax(hr_logits, -1))[0]
+            elif hasattr(type(inner), "encode_decode"):
+                logits = inner.apply(ivars, img,
+                                     method=type(inner).encode_decode)
+                panels["pred"] = np.asarray(jnp.argmax(logits, -1))[0]
+                panels["entropy"] = np.asarray(_entropy(logits))[0]
+            if dacs_debug is not None and "target_img" in batch:
+                d = dacs_debug(state, batch, rng)
+                panels["target"] = denormalize_image(
+                    np.asarray(batch["target_img"][0]))
+                panels["pseudo_label"] = np.asarray(d["pseudo_label"])[0]
+                panels["mix_mask"] = np.asarray(d["mix_mask"])[0]
+                panels["mixed_image"] = denormalize_image(
+                    np.asarray(d["mixed_img"][0]))
+                panels["mixed_label"] = np.asarray(d["mixed_lbl"])[0]
+                panels["teacher_entropy"] = np.asarray(d["entropy"])[0]
             save_debug_grid(os.path.join(work_dir, "class_mix_debug"),
-                            step, panels, cols=3)
+                            step, panels, cols=4)
 
     train_loop(
         state, step_fn, iter(loader), max_iters=max_iters, work_dir=work_dir,

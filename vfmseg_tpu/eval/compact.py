@@ -72,29 +72,90 @@ class CompactMsSlide:
             axis=(1, 2))
         return full, ctx, confidence
 
-    def _refine_fn(self, k: int) -> Callable:
-        if k not in self._refine:
-            def fn(variables, crops, ctxs):
-                return self.hr_fn(variables, crops, ctxs)
+    def _finish_fn(self, k: int, img_hw: Tuple[int, int]) -> Callable:
+        """One fused jit per (refine-bucket, image size): gather the k
+        low-confidence windows, refine, scatter back, overlap-average. A
+        single dispatch per group — the eager tail would otherwise issue
+        hundreds of small ops, which dominates on high-latency links."""
+        key = (k, img_hw)
+        if key not in self._refine:
+            boxes = compute_slide_grid(img_hw, self.crop, self.stride)
 
-            self._refine[k] = jax.jit(fn)
-        return self._refine[k]
+            def fn(variables, img, ctx, idx, valid):
+                if k > 0:
+                    img_crops = extract_crops(img, boxes, self.crop)
+                    g_img = jnp.take(img_crops, idx, axis=0)
+                    g_ctx = jnp.take(ctx, idx, axis=0)
+                    refined = self.hr_fn(variables, g_img, g_ctx).astype(
+                        ctx.dtype)
+                    # scatter-by-add: padded rows carry a zero delta, so
+                    # duplicate pad indices cannot clobber real refinements
+                    delta = jnp.where(valid[:, None, None, None],
+                                      refined - g_ctx, 0.0).astype(ctx.dtype)
+                    ctx = ctx.at[idx].add(delta)
+                return accumulate_crops(ctx, boxes, img_hw)
+
+            self._refine[key] = jax.jit(fn)
+        return self._refine[key]
 
     def __call__(self, variables, img: jax.Array) -> jax.Array:
-        """img: [1, H, W, 3] -> seg logits [1, H, W, C]."""
+        """img: [B, H, W, 3] -> (seg logits [B, H, W, C], n_refined)."""
         h, w = img.shape[1], img.shape[2]
-        full, ctx, confidence = self._stage1(variables, img, (h, w))
-        boxes = compute_slide_grid((h, w), self.crop, self.stride)
+        _full, ctx, confidence = self._stage1(variables, img, (h, w))
         conf_host = np.asarray(confidence)          # tiny readback
+        return self._finish(variables, img, ctx, conf_host)
+
+    def _finish(self, variables, img, ctx, conf_host):
+        h, w = img.shape[1], img.shape[2]
         need = np.nonzero(conf_host < self.conf)[0]
-        sel = ctx
-        if len(need):
-            k = _bucket(len(need), self.buckets)
-            idx = np.zeros(k, np.int32)
-            idx[:len(need)] = need
-            img_crops = extract_crops(img, boxes, self.crop)
-            gathered_img = jnp.take(img_crops, jnp.asarray(idx), axis=0)
-            gathered_ctx = jnp.take(ctx, jnp.asarray(idx), axis=0)
-            refined = self._refine_fn(k)(variables, gathered_img, gathered_ctx)
-            sel = sel.at[jnp.asarray(need)].set(refined[:len(need)])
-        return accumulate_crops(sel, boxes, (h, w)), len(need)
+        k = _bucket(len(need), self.buckets) if len(need) else 0
+        idx = np.zeros(max(k, 1), np.int32)
+        valid = np.zeros(max(k, 1), bool)
+        idx[:len(need)] = need
+        valid[:len(need)] = True
+        logits = self._finish_fn(k, (h, w))(
+            variables, img, ctx, jnp.asarray(idx[:k] if k else idx[:1]),
+            jnp.asarray(valid[:k] if k else valid[:1]))
+        return logits, len(need)
+
+    def stream(self, variables, images, group: int = 4, depth: int = 2):
+        """Throughput path: iterate `images` ([H, W, 3] arrays of one shape),
+        yielding per-image logits [H, W, C].
+
+        Two levers over __call__ (VERDICT round-1 perf items):
+          * stage 1 batches `group` images into one ViT call — the coarse
+            pass sees batch 4+ instead of 1, and the refine pool draws
+            windows from the whole group (fuller refine buckets);
+          * a `depth`-deep software pipeline dispatches group j+1's stage 1
+            BEFORE blocking on group j's confidence readback, so the
+            host round-trip (the gate's inherent sync point) hides under
+            accelerator compute on asynchronous-dispatch backends.
+        """
+        from collections import deque
+
+        def chunks():
+            buf = []
+            for im in images:
+                buf.append(im)
+                if len(buf) == group:
+                    yield jnp.stack(buf)
+                    buf = []
+            if buf:
+                yield jnp.stack(buf)
+
+        pending = deque()
+
+        def finish(img, ctx, confidence):
+            logits, _n = self._finish(variables, img, ctx,
+                                      np.asarray(confidence))
+            for i in range(img.shape[0]):
+                yield logits[i]
+
+        for img in chunks():
+            h, w = img.shape[1], img.shape[2]
+            _full, ctx, confidence = self._stage1(variables, img, (h, w))
+            pending.append((img, ctx, confidence))
+            if len(pending) > depth:
+                yield from finish(*pending.popleft())
+        while pending:
+            yield from finish(*pending.popleft())

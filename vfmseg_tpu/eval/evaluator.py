@@ -58,12 +58,15 @@ def _msvfm_fns(model):
     return lr_fn, hr_fn
 
 
-def make_logits_fn(model, test_cfg: Dict, mode: str) -> Callable:
+def make_logits_fn(model, test_cfg: Dict, mode: str,
+                   crop_sharding=None) -> Callable:
     """(variables, img) -> logits at the input resolution, per mode
-    (reference inference modes, Ms_VFM_encoder_decoder.py:278-332)."""
+    (reference inference modes, Ms_VFM_encoder_decoder.py:278-332).
+    crop_sharding: optional NamedSharding for the slide crop batch — the
+    multi-chip eval-throughput axis (SURVEY §5.7)."""
     inner, rescope = unwrap_model(model)
     if rescope is not None:
-        inner_fn = make_logits_fn(inner, test_cfg, mode)
+        inner_fn = make_logits_fn(inner, test_cfg, mode, crop_sharding)
         return lambda variables, img: inner_fn(rescope(variables), img)
 
     test_cfg = test_cfg or {}
@@ -81,7 +84,8 @@ def make_logits_fn(model, test_cfg: Dict, mode: str) -> Callable:
                 crop=crop, stride=tuple(test_cfg.get("stride", (320, 320))),
                 lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
                 threshold=test_cfg.get("threshold", 0.968),
-                conf=test_cfg.get("conf", 0.8))
+                conf=test_cfg.get("conf", 0.8),
+                crop_sharding=crop_sharding)
 
         return logits_fn
 
@@ -117,7 +121,7 @@ def make_logits_fn(model, test_cfg: Dict, mode: str) -> Callable:
             return slide_inference(
                 lambda crops: model.apply(variables, crops,
                                           method=type(model).encode_decode),
-                img, crop, stride)
+                img, crop, stride, crop_sharding=crop_sharding)
 
         return logits_fn
 
@@ -160,18 +164,24 @@ def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
 
 
 def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
-                    tta: bool = False):
+                    tta: bool = False, mesh=None):
     """Dispatch on test_cfg.mode; `tta` wraps the mode's logits function with
     flip(+scales) softmax averaging (eval/tta.py). out_hw: the original label
     resolution logits are resized back to before argmax (mmseg
-    postprocess_result semantics)."""
+    postprocess_result semantics). mesh: optional jax Mesh — the slide crop
+    batch shards over its "data" axis (multi-chip eval)."""
     test_cfg = test_cfg or {}
     mode = test_cfg.get("mode", "whole")
+    crop_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        crop_sharding = NamedSharding(mesh, P("data"))
     if (mode == "ms_slide_inference" and test_cfg.get("gate") == "compact"
             and not tta):
         return make_compact_ms_predict_fn(model, test_cfg, out_hw)
 
-    logits_fn = make_logits_fn(model, test_cfg, mode)
+    logits_fn = make_logits_fn(model, test_cfg, mode, crop_sharding)
     if not tta:
         @jax.jit
         def predict(variables, img):

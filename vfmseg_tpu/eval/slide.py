@@ -73,10 +73,12 @@ def whole_inference(logits_fn: Callable[[jax.Array], jax.Array],
 
 def slide_inference(logits_fn: Callable[[jax.Array], jax.Array],
                     img: jax.Array, crop: Tuple[int, int],
-                    stride: Tuple[int, int]) -> jax.Array:
+                    stride: Tuple[int, int], crop_sharding=None) -> jax.Array:
     """mmseg slide_inference, batched: one model call over all crops."""
     boxes = compute_slide_grid(img.shape[1:3], crop, stride)
     crops = extract_crops(img, boxes, crop)
+    if crop_sharding is not None:
+        crops = jax.lax.with_sharding_constraint(crops, crop_sharding)
     crop_logits = logits_fn(crops)
     return accumulate_crops(crop_logits, boxes, img.shape[1:3])
 

@@ -135,13 +135,26 @@ def strong_transform(rng: jax.Array, img: jax.Array, mean: jax.Array,
 
 def class_mix_masks(rng: jax.Array, labels: jax.Array, num_classes: int = 19,
                     ignore_index: int = 255) -> jax.Array:
-    """ClassMix: per sample, select ~half the present classes
-    (dacs_transforms.py:96-126). Returns float mask [B, H, W] in {0, 1}.
+    """ClassMix: per sample, select exactly ceil(n/2) of the n PRESENT
+    classes uniformly at random (dacs_transforms.py:96-126: randperm over
+    torch.unique(labels)). Returns float mask [B, H, W] in {0, 1}.
 
-    Static-shape version: each class id gets an independent Bernoulli(0.5)
-    draw; absent classes don't matter (their pixels don't occur)."""
+    Static-shape formulation: give every class an iid uniform score, push
+    absent classes to +inf, and pick the k lowest-scoring classes — a
+    uniformly random k-subset of the present ones without dynamic shapes."""
     b = labels.shape[0]
-    pick = jax.random.bernoulli(rng, 0.5, (b, num_classes + 1))
+    class_ids = jnp.arange(num_classes)
+    present = jnp.any(
+        labels[:, :, :, None] == class_ids[None, None, None, :], axis=(1, 2))
+    n = jnp.sum(present.astype(jnp.int32), axis=1)
+    k = (n + 1) // 2                                  # ceil(n/2)
+    scores = jnp.where(present, jax.random.uniform(rng, (b, num_classes)),
+                       jnp.inf)
+    order = jnp.argsort(scores, axis=1)
+    rank = jnp.argsort(order, axis=1)
+    pick = (rank < k[:, None]) & present              # [B, C] bool
+    pick = jnp.concatenate(
+        [pick, jnp.zeros((b, 1), bool)], axis=1)      # ignore slot
     safe = jnp.where(labels == ignore_index, num_classes, labels)
     return jnp.take_along_axis(
         pick.astype(jnp.float32), safe.reshape(b, -1), axis=1

@@ -111,23 +111,33 @@ def _match_cost(cls_pred, mask_pred, gt_masks, exists, coords,
     return jnp.where(exists[None, :], cost, _DUMMY_COST)
 
 
+def _sample_points_per(maps: jax.Array, coords: jax.Array) -> jax.Array:
+    """Per-item bilinear sampling. maps: [N, H, W]; coords: [N, P, 2] (x, y)
+    in [0, 1]. Returns [N, P]."""
+    from vfmseg_tpu.ops.deform_attn import bilinear_sample_nhwc
+
+    return bilinear_sample_nhwc(maps[..., None], coords)[..., 0]
+
+
 def _uncertain_points(mask_logits: jax.Array, rng, num_points: int,
                       oversample: float, importance: float) -> jax.Array:
-    """Uncertainty-based point coords [B, P, 2] shared across the batch's
-    masks (mmdet get_uncertain_point_coords_with_randomness; uncertainty =
-    -|logit| over the per-image max over masks)."""
-    b = mask_logits.shape[0]
+    """Per-MASK uncertainty point coords [B, K, P, 2] (mmdet
+    get_uncertain_point_coords_with_randomness: each matched mask draws its
+    own oversampled pool, keeps its own most-uncertain importance fraction
+    (uncertainty = -|logit| of that mask), pads with fresh uniform points)."""
+    b, k = mask_logits.shape[:2]
+    hw = mask_logits.shape[2:]
     n_sampled = int(num_points * oversample)
     k1, k2 = jax.random.split(rng)
-    coords = jax.random.uniform(k1, (b, n_sampled, 2))
-    # uncertainty per point: use the most certain mask per point as reference
-    pts = jax.vmap(_sample_points)(mask_logits.astype(jnp.float32), coords)
-    unc = -jnp.abs(pts).min(axis=1)  # [B, n_sampled]
+    coords = jax.random.uniform(k1, (b * k, n_sampled, 2))
+    pts = _sample_points_per(
+        mask_logits.astype(jnp.float32).reshape(b * k, *hw), coords)
+    unc = -jnp.abs(pts)                       # [B*K, n_sampled]
     n_unc = int(importance * num_points)
-    top_idx = jax.lax.top_k(unc, n_unc)[1]  # [B, n_unc]
+    top_idx = jax.lax.top_k(unc, n_unc)[1]    # [B*K, n_unc]
     top = jnp.take_along_axis(coords, top_idx[..., None], axis=1)
-    rand = jax.random.uniform(k2, (b, num_points - n_unc, 2))
-    return jnp.concatenate([top, rand], axis=1)
+    rand = jax.random.uniform(k2, (b * k, num_points - n_unc, 2))
+    return jnp.concatenate([top, rand], axis=1).reshape(b, k, num_points, 2)
 
 
 def mask2former_loss(
@@ -193,11 +203,18 @@ def mask2former_loss(
         # gather matched predictions per gt slot
         matched = jnp.take_along_axis(
             mask_pred, assign[..., None, None], axis=1)  # [B, K, h, w]
+        hw = matched.shape[2:]
         coords = _uncertain_points(
-            matched.reshape(b, num_classes, *matched.shape[2:]),
-            jax.random.fold_in(pt_rng, s), num_points, oversample, importance)
-        pred_pts = jax.vmap(_sample_points)(matched, coords)   # [B, K, P]
-        gt_pts = jax.vmap(_sample_points)(gt_masks, coords)     # [B, K, P]
+            matched, jax.random.fold_in(pt_rng, s), num_points, oversample,
+            importance)                                  # [B, K, P, 2]
+        flat_coords = coords.reshape(b * num_classes, num_points, 2)
+        pred_pts = _sample_points_per(
+            matched.reshape(b * num_classes, *hw), flat_coords
+        ).reshape(b, num_classes, num_points)
+        gt_hw = gt_masks.shape[2:]
+        gt_pts = _sample_points_per(
+            gt_masks.reshape(b * num_classes, *gt_hw), flat_coords
+        ).reshape(b, num_classes, num_points)
 
         e = exists.astype(jnp.float32)[..., None]
         bce = jax.nn.softplus(pred_pts) - pred_pts * gt_pts  # BCE-with-logits

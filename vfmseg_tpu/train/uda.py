@@ -57,6 +57,68 @@ def _replace_subtree(params, key: str, subtree):
     return out
 
 
+def dacs_mix(model, cfg: DACSConfig, state: TrainState,
+             batch: Dict[str, jax.Array], step_rng, mean, std):
+    """The DACS pre-loss block (dacs.py:232-295): EMA-teacher pseudo-labels
+    on the target, ClassMix, pseudo-weight map, strong transform. Shared by
+    the train step and the debug dumps."""
+    k_mix, k_aug, _ = jax.random.split(step_rng, 3)
+    src_img, src_lbl = batch["img"], batch["label"]
+    tgt_img = batch["target_img"]
+    b, h, w = src_lbl.shape
+
+    params = merge_params(state.trainable, state.frozen)
+    teacher_params = _replace_subtree(params, cfg.head_key, state.ema)
+    tvars = {"params": teacher_params}
+    if state.batch_stats:
+        tvars["batch_stats"] = state.batch_stats
+    tgt_logits = model.apply(tvars, tgt_img,
+                             method=type(model).encode_decode)
+    probs = jax.nn.softmax(tgt_logits.astype(jnp.float32), axis=-1)
+    max_prob = jnp.max(probs, axis=-1)
+    pseudo_label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    pweight = jnp.mean((max_prob >= cfg.pseudo_threshold).astype(jnp.float32))
+    weight_map = jnp.full((b, h, w), pweight, jnp.float32)
+    if cfg.psweight_ignore_top > 0:
+        weight_map = weight_map.at[:, :cfg.psweight_ignore_top].set(0.0)
+    if cfg.psweight_ignore_bottom > 0:
+        weight_map = weight_map.at[:, -cfg.psweight_ignore_bottom:].set(0.0)
+
+    mix_mask = class_mix_masks(k_mix, src_lbl, cfg.num_classes)
+    mixed_img = one_mix(mix_mask, src_img.astype(jnp.float32),
+                        tgt_img.astype(jnp.float32))
+    mixed_lbl = jnp.where(mix_mask > 0.5, src_lbl, pseudo_label)
+    mixed_weight = one_mix(mix_mask, jnp.ones_like(weight_map), weight_map)
+    mixed_img = strong_transform(
+        k_aug, mixed_img, mean, std, cfg.color_jitter_strength,
+        cfg.color_jitter_probability, 1.0 if cfg.blur else 0.0
+    ).astype(src_img.dtype)
+    # normalized prediction entropy of the teacher on the target
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-12), axis=-1) / jnp.log(
+        jnp.float32(probs.shape[-1]))
+    return {
+        "mixed_img": mixed_img, "mixed_lbl": mixed_lbl,
+        "mixed_weight": mixed_weight, "pseudo_weight": pweight,
+        "pseudo_label": pseudo_label, "mix_mask": mix_mask,
+        "entropy": entropy,
+    }
+
+
+def make_dacs_debug_fn(model, cfg: DACSConfig = DACSConfig()) -> Callable:
+    """Jitted (state, batch, rng) -> DACS debug tensors for the periodic
+    class_mix_debug grids (reference dacs.py:310-362: pseudo-label, mix
+    mask, mixed sample, teacher entropy)."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    @jax.jit
+    def debug_tensors(state: TrainState, batch: Dict[str, jax.Array], rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        return dacs_mix(model, cfg, state, batch, step_rng, mean, std)
+
+    return debug_tensors
+
+
 def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
                          cfg: DACSConfig = DACSConfig(),
                          donate: bool = True) -> Callable:
@@ -68,37 +130,11 @@ def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
         step_rng = jax.random.fold_in(rng, state.step)
-        k_mix, k_aug, k_drop = jax.random.split(step_rng, 3)
+        k_drop = jax.random.split(step_rng, 3)[2]
         src_img, src_lbl = batch["img"], batch["label"]
-        tgt_img = batch["target_img"]
-        b, h, w = src_lbl.shape
-
-        params = merge_params(state.trainable, state.frozen)
-        teacher_params = _replace_subtree(params, cfg.head_key, state.ema)
-        tvars = {"params": teacher_params}
-        if state.batch_stats:
-            tvars["batch_stats"] = state.batch_stats
-        tgt_logits = model.apply(tvars, tgt_img,
-                                 method=type(model).encode_decode)
-        probs = jax.nn.softmax(tgt_logits.astype(jnp.float32), axis=-1)
-        max_prob = jnp.max(probs, axis=-1)
-        pseudo_label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        pweight = jnp.mean((max_prob >= cfg.pseudo_threshold).astype(jnp.float32))
-        weight_map = jnp.full((b, h, w), pweight, jnp.float32)
-        if cfg.psweight_ignore_top > 0:
-            weight_map = weight_map.at[:, :cfg.psweight_ignore_top].set(0.0)
-        if cfg.psweight_ignore_bottom > 0:
-            weight_map = weight_map.at[:, -cfg.psweight_ignore_bottom:].set(0.0)
-
-        mix_mask = class_mix_masks(k_mix, src_lbl, cfg.num_classes)
-        mixed_img = one_mix(mix_mask, src_img.astype(jnp.float32),
-                            tgt_img.astype(jnp.float32))
-        mixed_lbl = jnp.where(mix_mask > 0.5, src_lbl, pseudo_label)
-        mixed_weight = one_mix(mix_mask, jnp.ones_like(weight_map), weight_map)
-        mixed_img = strong_transform(
-            k_aug, mixed_img, mean, std, cfg.color_jitter_strength,
-            cfg.color_jitter_probability, 1.0 if cfg.blur else 0.0
-        ).astype(src_img.dtype)
+        mix = dacs_mix(model, cfg, state, batch, step_rng, mean, std)
+        mixed_img, mixed_lbl = mix["mixed_img"], mix["mixed_lbl"]
+        mixed_weight, pweight = mix["mixed_weight"], mix["pseudo_weight"]
 
         rngs = {"dropout": k_drop, "mask": jax.random.fold_in(k_drop, 1),
                 "crop": jax.random.fold_in(k_drop, 2)}

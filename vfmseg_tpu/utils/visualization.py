@@ -67,7 +67,12 @@ def save_debug_grid(out_dir: str, step: int, panels: Dict[str, np.ndarray],
         ax.axis("off")
     for ax, (title, img) in zip(axs.flat, panels.items()):
         img = np.asarray(img)
-        if img.ndim == 2:
+        if img.ndim == 2 and np.issubdtype(img.dtype, np.floating):
+            # scalar maps (entropy, mix masks) — heatmap, not the palette
+            ax.imshow(img, cmap="viridis")
+            ax.set_title(title, fontsize=8)
+            ax.axis("off")
+        elif img.ndim == 2:
             subplotimg(ax, img, title, cmap="cityscapes")
         else:
             subplotimg(ax, img, title)
