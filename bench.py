@@ -168,19 +168,26 @@ def measure_rtt() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("compact", "dense"), default="compact")
+    ap.add_argument("--mode", choices=("compact", "dense", "train"),
+                    default="compact")
     ap.add_argument("--config", default="dg_lora_dinov2_ms_masked",
                     help="model config (tiny smoke configs work for CPU "
                          "sanity runs)")
-    ap.add_argument("--images", type=int, default=16)
-    ap.add_argument("--group", type=int, default=4,
+    ap.add_argument("--images", type=int, default=32)
+    ap.add_argument("--group", type=int, default=8,
                     help="stage-1 batch (compact mode)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="stream pipeline depth (groups in flight; each "
+                         "holds a ~2.8 GB fp32 ctx buffer at bs8 1024x2048)")
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048),
                     help="benchmark image size (Cityscapes protocol)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="shard the crop batch over an N-device data mesh")
     args = ap.parse_args()
 
+    # tanh-GELU for production inference (documented ~1e-3 deviation from
+    # the parity-exact erf GELU; ~1.4x faster MLPs on the VPU)
+    os.environ.setdefault("VFMSEG_GELU_APPROX", "1")
     dtype = jnp.bfloat16
     cfg = load_config(args.config)
     model = build_segmentor(cfg.model, dtype=dtype, attn_impl="auto")
@@ -215,6 +222,50 @@ def main():
                            method=MsVFMSegmentor.hr_forward)
 
     extras = {"mode": args.mode, "image_hw": [h, w]}
+
+    if args.mode == "train":
+        # headline training step: batch 2, two-scale 1024^2 / 512^2 crops
+        from vfmseg_tpu.train import (
+            TrainState, make_optimizer, make_train_step, partition_params,
+            trainable_predicate)
+
+        bs = 2
+        img = jax.random.normal(jax.random.PRNGKey(0), (bs, ih, iw, 3), dtype)
+        labels = jax.random.randint(jax.random.PRNGKey(1), (bs, ih, iw), 0, 19)
+        params = variables["params"]
+        trainable, frozen = partition_params(params, trainable_predicate())
+        optimizer = make_optimizer(trainable, base_lr=1e-4, max_steps=40000)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(trainable))
+        step_fn = make_train_step(model, optimizer, donate=False)
+        batch = {"img": img, "label": labels}
+        rng = jax.random.PRNGKey(7)
+
+        n = args.images
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+        compile_and_first = time.time() - t0
+        rtt = measure_rtt()
+        t0 = time.time()
+        for _ in range(n):
+            state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])  # serial dependency via state forces the chain
+        elapsed = max(time.time() - t0 - rtt, 1e-9)
+        sps = n / elapsed
+        print(json.dumps({
+            "metric": f"train steps/sec (bs{bs} two-scale {ih}^2, ViT-L "
+                      f"MsVFM fwd+bwd)",
+            "value": round(sps, 3),
+            "unit": "steps/sec",
+            "vs_baseline": round(sps / 3.0, 3),  # analytic A100 torch ~3/s
+            **extras,
+        }))
+        print(f"# first(incl. compile)={compile_and_first:.1f}s "
+              f"run={elapsed:.2f}s", file=sys.stderr)
+        return
 
     if args.mode == "dense":
         img = jax.random.normal(jax.random.PRNGKey(42), (1, h, w, 3), dtype)
@@ -265,7 +316,8 @@ def main():
 
         def run_stream():
             last = None
-            for out in compact.stream(variables, images, group=args.group):
+            for out in compact.stream(variables, images, group=args.group,
+                                      depth=args.depth):
                 last = out
             # close the tail: force the last group's compute
             return float(jnp.sum(last[::128, ::128]).astype(jnp.float32))

@@ -92,3 +92,67 @@ def test_evaluate_sharded_equals_unsharded_real_model():
     sharded = make_predict_fn(model, test_cfg, out_hw=(128, 128), mesh=mesh)(
         variables, img)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sharded))
+
+
+def test_dp_tp_train_step_matches_single_device():
+    """One sharded (data=4, model=2) train step must produce the same loss
+    and updated params as the unsharded step — the correctness guarantee
+    behind dryrun_multichip's mesh composition."""
+    import jax.numpy as jnp
+
+    from test_models import build_tiny_msvfm
+
+    from vfmseg_tpu.parallel.mesh import param_shardings
+    from vfmseg_tpu.train import (
+        TrainState, make_optimizer, make_train_step, partition_params,
+        trainable_predicate)
+
+    model = build_tiny_msvfm()
+    img = jax.random.normal(K(0), (4, 128, 128, 3))
+    labels = jax.random.randint(K(1), (4, 128, 128), 0, 5)
+    variables = model.init(
+        {"params": K(2), "crop": K(3), "mask": K(4), "dropout": K(5)},
+        img, labels)
+    trainable, frozen = partition_params(variables["params"],
+                                         trainable_predicate())
+    optimizer = make_optimizer(trainable, base_lr=1e-3, max_steps=10)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            trainable=jax.tree_util.tree_map(jnp.array, trainable),
+            frozen=frozen,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(trainable))
+
+    step_fn = make_train_step(model, optimizer, donate=False)
+    batch = {"img": img, "label": labels}
+
+    base_state, base_metrics = step_fn(fresh_state(), batch, K(9))
+
+    mesh = make_mesh(data=4, model=2)
+    state = fresh_state()
+    t_shard = param_shardings(state.trainable, mesh)
+    f_shard = param_shardings(state.frozen, mesh)
+    state = state.replace(
+        trainable=jax.tree_util.tree_map(jax.device_put, state.trainable,
+                                         t_shard),
+        frozen=jax.tree_util.tree_map(jax.device_put, state.frozen, f_shard))
+    data_sh = NamedSharding(mesh, P("data"))
+    sharded_batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
+    with jax.set_mesh(mesh):
+        sh_state, sh_metrics = step_fn(state, sharded_batch, K(9))
+
+    # loss and grad_norm must agree to reduction-order tolerance. Updated
+    # params are NOT compared elementwise: Adam's first step is ±lr *
+    # sign(g), so fp reduction-order noise on near-zero grads legitimately
+    # flips individual update signs.
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(base_metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(sh_metrics["grad_norm"]),
+                               float(base_metrics["grad_norm"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.trainable),
+                    jax.tree_util.tree_leaves(sh_state.trainable)):
+        # updates are bounded by ~lr; shapes/dtypes and magnitude must match
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)

@@ -106,30 +106,57 @@ def main():
 
             n = min(args.data_parallel, len(jax.devices()))
             mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
-        predict = make_predict_fn(model, cfg.get("test_cfg", {}),
-                                  out_hw=out_hw, tta=args.tta, mesh=mesh)
 
-        def run_pipeline(img, label=None):
-            out = pipeline(img, label)
-            return out
+        n_imgs = min(args.max_images or len(dataset), len(dataset))
+        test_cfg = cfg.get("test_cfg", {})
 
-        for i in range(args.max_images or len(dataset)):
-            if i >= len(dataset):
-                break
-            raw = dataset[i]
-            proc = run_pipeline(raw["img"], raw.get("label"))
-            pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
-            acc.update(pred, proc["label"], key)
-            if args.show_dir:
-                import numpy as _np
-                from PIL import Image as _Image
+        def save_pred(pred, raw, i):
+            if not args.show_dir:
+                return
+            import numpy as _np
+            from PIL import Image as _Image
 
-                from vfmseg_tpu.utils.visualization import colorize_label
+            from vfmseg_tpu.utils.visualization import colorize_label
 
-                os.makedirs(os.path.join(args.show_dir, key), exist_ok=True)
-                name = os.path.basename(raw.get("img_path", f"{i}.png"))
-                _Image.fromarray(colorize_label(_np.asarray(pred))).save(
-                    os.path.join(args.show_dir, key, name))
+            os.makedirs(os.path.join(args.show_dir, key), exist_ok=True)
+            name = os.path.basename(raw.get("img_path", f"{i}.png"))
+            _Image.fromarray(colorize_label(_np.asarray(pred))).save(
+                os.path.join(args.show_dir, key, name))
+
+        use_stream = (test_cfg.get("gate") == "compact"
+                      and test_cfg.get("mode") == "ms_slide_inference"
+                      and not args.tta)
+        if use_stream:
+            # throughput path: grouped stage-1 + pipelined gate readback
+            from collections import deque
+
+            from vfmseg_tpu.eval.evaluator import stream_evaluate
+
+            meta = deque()
+
+            def image_iter():
+                for i in range(n_imgs):
+                    raw = dataset[i]
+                    proc = pipeline(raw["img"], raw.get("label"))
+                    meta.append((raw, proc.get("label"), i))
+                    yield jnp.asarray(proc["img"])
+
+            preds = stream_evaluate(
+                model, variables, test_cfg, image_iter(), out_hw,
+                group=test_cfg.get("stream_group", 4))
+            for pred in preds:
+                raw, label, i = meta.popleft()
+                acc.update(pred, label, key)
+                save_pred(pred, raw, i)
+        else:
+            predict = make_predict_fn(model, test_cfg, out_hw=out_hw,
+                                      tta=args.tta, mesh=mesh)
+            for i in range(n_imgs):
+                raw = dataset[i]
+                proc = pipeline(raw["img"], raw.get("label"))
+                pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
+                acc.update(pred, proc["label"], key)
+                save_pred(pred, raw, i)
 
     results = acc.compute()
     # per-dataset per-class IoU tables (reference DGIoUMetric printout)

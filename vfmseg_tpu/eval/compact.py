@@ -25,7 +25,8 @@ import numpy as np
 from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid, extract_crops
 from vfmseg_tpu.ops.resize import resize
 
-DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 18, 24, 32, 48, 64)
+DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 64, 96,
+                   128, 160)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -81,8 +82,9 @@ class CompactMsSlide:
         if key not in self._refine:
             boxes = compute_slide_grid(img_hw, self.crop, self.stride)
 
-            def fn(variables, img, ctx, idx, valid):
+            def fn(variables, img, ctx, idx_valid):
                 if k > 0:
+                    idx, valid = idx_valid[:k], idx_valid[k:] > 0
                     img_crops = extract_crops(img, boxes, self.crop)
                     g_img = jnp.take(img_crops, idx, axis=0)
                     g_ctx = jnp.take(ctx, idx, axis=0)
@@ -109,13 +111,13 @@ class CompactMsSlide:
         h, w = img.shape[1], img.shape[2]
         need = np.nonzero(conf_host < self.conf)[0]
         k = _bucket(len(need), self.buckets) if len(need) else 0
-        idx = np.zeros(max(k, 1), np.int32)
-        valid = np.zeros(max(k, 1), bool)
-        idx[:len(need)] = need
-        valid[:len(need)] = True
+        # one combined [2k] int32 host->device transfer (idx then validity) —
+        # small H2D transfers cost ~30 ms each on high-latency links
+        idx_valid = np.zeros(max(2 * k, 1), np.int32)
+        idx_valid[:len(need)] = need
+        idx_valid[k:k + len(need)] = 1
         logits = self._finish_fn(k, (h, w))(
-            variables, img, ctx, jnp.asarray(idx[:k] if k else idx[:1]),
-            jnp.asarray(valid[:k] if k else valid[:1]))
+            variables, img, ctx, jnp.asarray(idx_valid))
         return logits, len(need)
 
     def stream(self, variables, images, group: int = 4, depth: int = 2):

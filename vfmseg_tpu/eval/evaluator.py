@@ -136,6 +136,36 @@ def _finish(logits, out_hw):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def make_compact_ms_slide(model, test_cfg: Dict):
+    """The reusable gated two-phase engine for `model` (eval/compact.py),
+    with DomainGeneral unwrapped. Returns (engine, rescope-or-None)."""
+    from vfmseg_tpu.eval.compact import CompactMsSlide
+
+    inner, rescope = unwrap_model(model)
+    lr_fn, hr_fn = _msvfm_fns(inner)
+    engine = CompactMsSlide(
+        lr_fn, hr_fn,
+        crop=tuple(test_cfg.get("crop_size", (512, 512))),
+        stride=tuple(test_cfg.get("stride", (320, 320))),
+        lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
+        threshold=test_cfg.get("threshold", 0.968),
+        conf=test_cfg.get("conf", 0.8))
+    return engine, rescope
+
+
+def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
+                    group: int = 4):
+    """Throughput eval: yield per-image [H, W] predictions for a stream of
+    same-shaped preprocessed images via CompactMsSlide.stream (grouped
+    stage-1 + pipelined gate; see bench.py)."""
+    engine, rescope = make_compact_ms_slide(model, test_cfg or {})
+    if rescope is not None:
+        variables = rescope(variables)
+    finish = jax.jit(lambda logits: _finish(logits[None], out_hw)[0])
+    for logits in engine.stream(variables, images, group=group):
+        yield finish(logits)
+
+
 def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     """Gated two-phase ms_slide (eval/compact.py): identical outputs to the
     dense path, but only low-confidence windows are refined."""

@@ -109,7 +109,15 @@ class Mlp(nn.Module):
         if self.act == "quick_gelu":
             x = x * jax.nn.sigmoid(1.702 * x)
         else:
-            x = nn.gelu(x, approximate=False)
+            # exact erf GELU matches torch nn.GELU (parity default); the tanh
+            # approximation is ~1.4x faster on the TPU VPU (fp32 erf costs
+            # ~30% of the whole MLP) and differs by <1e-3 — opt in for
+            # production inference via act="gelu_tanh" or VFMSEG_GELU_APPROX=1
+            import os
+
+            approx = (self.act == "gelu_tanh"
+                      or os.environ.get("VFMSEG_GELU_APPROX", "0") == "1")
+            x = nn.gelu(x, approximate=approx)
         return make_dense("fc2", self.out, self.use_bias, self.lora, self.dtype)(
             x, deterministic=deterministic)
 

@@ -30,6 +30,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# sequences up to this length run as ONE block (measured fastest at ViT
+# crop lengths: per-cell fixed costs dominate small tiles; a 1032^2 fp32
+# score tile is ~4.3 MB, comfortably in VMEM)
+_SINGLE_BLOCK_MAX = 1100
+
+
+def _pick_block(n: int, max_block: int) -> int:
+    """Smallest 8-aligned block covering n in ceil(n/max_block) blocks —
+    minimizes padded softmax tiles (the kernel's VPU-bound cost)."""
+    if n <= _SINGLE_BLOCK_MAX:
+        return _round_up(n, 8)
+    num_blocks = -(-n // max_block)
+    return _round_up(-(-n // num_blocks), 8)
+
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
@@ -37,35 +52,50 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_k: int):
     # refs are [1, 1, n, d] blocks of [B, H, N, D] operands: the last two
-    # dims (seq, head_dim) satisfy Mosaic's (8, 128)-or-full tiling rule
-    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [bq, d]
+    # dims (seq, head_dim) satisfy Mosaic's (8, 128)-or-full tiling rule.
+    # Matmuls run in the OPERAND dtype with fp32 accumulation
+    # (preferred_element_type) — upcasting bf16 operands to fp32 first would
+    # run the MXU at the fp32 rate, several times slower. The softmax state
+    # (m/l) stays fp32. Padding is masked only in the FINAL kv block; scale
+    # is applied to the fp32 score tile.
+    q = q_ref[0, 0, :, :]                # [bq, d], operand dtype
     block_q, d = q.shape
     kv_pad = k_ref.shape[2]
     num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
 
     m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
 
-    def body(j, carry):
+    def step(j, carry, masked):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        ) * scale  # [bq, bk] fp32
+        if masked:
+            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    # unrolled (static trip count): lets Mosaic software-pipeline the next
+    # block's score matmul under the current block's softmax VPU work
+    carry = (m0, l0, acc0)
+    for j in range(num_kv - 1 if has_tail else num_kv):
+        carry = step(j, carry, masked=False)
+    if has_tail:
+        carry = step(num_kv - 1, carry, masked=True)
+    m, l, acc = carry
     safe_l = jnp.maximum(l, 1e-37)
     o_ref[0, 0, :, :] = (acc / safe_l).astype(o_ref.dtype)
     lse_ref[0, 0, :, :] = m + jnp.log(safe_l)  # [bq, 1]
@@ -82,8 +112,13 @@ def _flash_forward(q, k, v, scale: float):
     import os
 
     max_block = int(os.environ.get("VFMSEG_FLASH_BLOCK", "512"))
-    block_q = min(max_block, _round_up(nq, 8))
-    block_k = min(max_block, _round_up(nk, 8))
+    max_block_q = int(os.environ.get("VFMSEG_FLASH_BLOCK_Q", max_block))
+    max_block_k = int(os.environ.get("VFMSEG_FLASH_BLOCK_K", max_block))
+    # minimal-padding tiling: the kernel is VPU-bound on the [bq, bk] softmax
+    # tiles, so padded score elements are pure waste (seq 1025 padded to a
+    # 512 block costs 1536^2/1032^2 = 2.2x the exps)
+    block_q = _pick_block(nq, max_block_q)
+    block_k = _pick_block(nk, max_block_k)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
     # [B, N, H, D] -> [B, H, N_pad, D]; XLA fuses the transpose upstream
@@ -130,68 +165,74 @@ def _flash_forward(q, k, v, scale: float):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    scale: float, kv_len: int, block_k: int):
-    q = q_ref[0, 0, :, :].astype(jnp.float32)
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
-    lse = lse_ref[0, 0, :, :]            # [bq, 1]
-    delta = delta_ref[0, 0, :, :]        # [bq, 1]
+    q = q_ref[0, 0, :, :]                # operand dtype
+    do = do_ref[0, 0, :, :]
+    lse = lse_ref[0, 0, :, :]            # [bq, 1] fp32
+    delta = delta_ref[0, 0, :, :]        # [bq, 1] fp32
     block_q, d = q.shape
     kv_pad = k_ref.shape[2]
     num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
 
-    def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    def step(j, dq, masked):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        if masked:
+            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         p = jnp.exp(s - lse)             # rows with lse=+inf give p=0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_kv, body,
-                           jnp.zeros((block_q, d), jnp.float32))
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    for j in range(num_kv - 1 if has_tail else num_kv):
+        dq = step(j, dq, masked=False)
+    if has_tail:
+        dq = step(num_kv - 1, dq, masked=True)
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, q_len: int,
                     block_q: int):
-    k = k_ref[0, 0, :, :].astype(jnp.float32)   # [bk, d]
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    k = k_ref[0, 0, :, :]                        # [bk, d], operand dtype
+    v = v_ref[0, 0, :, :]
     block_k, d = k.shape
     q_pad = q_ref.shape[2]
     num_q = q_pad // block_q
+    del q_len  # padded query rows carry lse=+inf, so exp(s - lse) == 0
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                      # [bq, bk]
-        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ) * scale                                      # [bq, bk] fp32
         p = jnp.exp(s - lse)
-        p = jnp.where(row < q_len, p, 0.0)             # padded queries
         dv_new = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk_new = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk_new, dv_new
 
-    dk, dv = jax.lax.fori_loop(
-        0, num_q, body,
-        (jnp.zeros((block_k, d), jnp.float32),
-         jnp.zeros((block_k, d), jnp.float32)))
+    carry = (jnp.zeros((block_k, d), jnp.float32),
+             jnp.zeros((block_k, d), jnp.float32))
+    for i in range(num_q):
+        carry = body(i, carry)
+    dk, dv = carry
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
@@ -201,8 +242,15 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
     [B, N, H, D]."""
     b, h, nq_pad, d = qp.shape
     nk_pad = kp.shape[2]
-    block_q = min(512, nq_pad)
-    block_k = min(512, nk_pad)
+    # same deterministic tiling as the forward (nq_pad/nk_pad are multiples
+    # of the forward's picked blocks, so these divide them exactly)
+    import os
+
+    max_block = int(os.environ.get("VFMSEG_FLASH_BLOCK", "512"))
+    block_q = _pick_block(nq, int(os.environ.get("VFMSEG_FLASH_BLOCK_Q",
+                                                 max_block)))
+    block_k = _pick_block(nk, int(os.environ.get("VFMSEG_FLASH_BLOCK_K",
+                                                 max_block)))
 
     gp = jnp.pad(g.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
