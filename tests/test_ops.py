@@ -56,6 +56,49 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_flash_bias_matches_xla_interpret(self):
+        """Additive-bias path (SAM decomposed rel-pos shape), fwd + all four
+        gradients incl. dbias, with non-block-aligned lengths and a
+        broadcast (per-head-shared) bias."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        q, k, v = (_rand(i + 30, (2, 77, 2, 16)) for i in range(3))
+        bias = _rand(33, (2, 1, 77, 77)) * 0.5  # broadcasts over heads
+
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, bias=jnp.asarray(bias))
+        ref = xla_attention(q, k, v, bias=jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        def f_flash(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias=bias) ** 2)
+
+        def f_xla(q, k, v, bias):
+            return jnp.sum(xla_attention(q, k, v, bias=bias) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(f_flash, argnums=(0, 1, 2, 3))(
+                q, k, v, jnp.asarray(bias))
+        g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3))(q, k, v, jnp.asarray(bias))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_flash_cross_attention_bias(self):
+        """Nq != Nk with bias (decoder-style cross attention)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        q = _rand(40, (1, 19, 2, 16))
+        k = _rand(41, (1, 53, 2, 16))
+        v = _rand(42, (1, 53, 2, 16))
+        bias = _rand(43, (1, 2, 19, 53))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, bias=bias)
+        ref = xla_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
 
 torch = pytest.importorskip("torch")
 

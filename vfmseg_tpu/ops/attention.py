@@ -74,11 +74,18 @@ def multi_head_attention(
     """Dispatching MHA. impl: 'auto' | 'xla' | 'pallas'."""
     if impl == "auto":
         impl = _default_impl()
-    if impl == "pallas" and bias is None:
+    # biasless attention: the flash kernel wins ~2.3x (no [N, N] tensors).
+    # With a bias, XLA's fused path measured FASTER on the forward (the bias
+    # already lives in HBM), so it stays the default; impl="pallas_bias"
+    # opts into the flash kernel, whose win is MEMORY — it never
+    # materializes the [B, H, Nq, Nk] probability tensors XLA's backward
+    # does, only bias/dbias.
+    if impl in ("pallas", "pallas_bias") and (bias is None
+                                              or impl == "pallas_bias"):
         from vfmseg_tpu.ops.flash_attention import flash_attention
 
         try:
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(q, k, v, scale=scale, bias=bias)
         except NotImplementedError:
             pass
     return xla_attention(q, k, v, scale=scale, bias=bias)

@@ -36,10 +36,10 @@ def _round_up(x: int, m: int) -> int:
 _SINGLE_BLOCK_MAX = 1100
 
 
-def _pick_block(n: int, max_block: int) -> int:
+def _pick_block(n: int, max_block: int, allow_single: bool = True) -> int:
     """Smallest 8-aligned block covering n in ceil(n/max_block) blocks —
     minimizes padded softmax tiles (the kernel's VPU-bound cost)."""
-    if n <= _SINGLE_BLOCK_MAX:
+    if allow_single and n <= _SINGLE_BLOCK_MAX:
         return _round_up(n, 8)
     num_blocks = -(-n // max_block)
     return _round_up(-(-n // num_blocks), 8)
@@ -49,8 +49,13 @@ def _pick_block(n: int, max_block: int) -> int:
 # forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                kv_len: int, block_k: int):
+def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
+                has_bias: bool = False):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        bias_ref = None
     # refs are [1, 1, n, d] blocks of [B, H, N, D] operands: the last two
     # dims (seq, head_dim) satisfy Mosaic's (8, 128)-or-full tiling rule.
     # Matmuls run in the OPERAND dtype with fp32 accumulation
@@ -75,6 +80,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk] fp32
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)].astype(
+                jnp.float32)
         if masked:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -101,45 +109,64 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     lse_ref[0, 0, :, :] = m + jnp.log(safe_l)  # [bq, 1]
 
 
-def _flash_forward(q, k, v, scale: float):
-    """[B, N, H, D] inputs -> (out [B, N, H, D], lse [B, H, Nq_pad, 1],
-    padded operands in [B, H, N_pad, D])."""
-    b, nq, h, d = q.shape
-    nk = k.shape[1]
-    # 512 tiles measured fastest on v5e for ViT-L shapes (128 -> 0.57x,
-    # padding waste is outweighed by MXU tile efficiency); override for
-    # experiments via VFMSEG_FLASH_BLOCK
+def _blocks(nq: int, nk: int, has_bias: bool = False):
     import os
 
     max_block = int(os.environ.get("VFMSEG_FLASH_BLOCK", "512"))
-    max_block_q = int(os.environ.get("VFMSEG_FLASH_BLOCK_Q", max_block))
-    max_block_k = int(os.environ.get("VFMSEG_FLASH_BLOCK_K", max_block))
+    max_q = int(os.environ.get("VFMSEG_FLASH_BLOCK_Q", max_block))
+    max_k = int(os.environ.get("VFMSEG_FLASH_BLOCK_K", max_block))
+    if has_bias:
+        # the bias/dbias tiles share VMEM with the score tiles — keep query
+        # blocks small enough that (bias + dbias + s + p) stays under ~8 MB
+        max_q = min(max_q, 256)
+    block_q = _pick_block(nq, max_q, allow_single=not has_bias)
+    block_k = _pick_block(nk, max_k, allow_single=not has_bias)
+    return block_q, block_k
+
+
+def _flash_forward(q, k, v, scale: float, bias=None):
+    """[B, N, H, D] inputs (+optional [B, H, Nq, Nk] bias) -> (out
+    [B, N, H, D], lse [B, H, Nq_pad, 1], padded residuals)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
     # minimal-padding tiling: the kernel is VPU-bound on the [bq, bk] softmax
     # tiles, so padded score elements are pure waste (seq 1025 padded to a
-    # 512 block costs 1536^2/1032^2 = 2.2x the exps)
-    block_q = _pick_block(nq, max_block_q)
-    block_k = _pick_block(nk, max_block_k)
+    # 512 block costs 1536^2/1032^2 = 2.2x the exps); override the max block
+    # for experiments via VFMSEG_FLASH_BLOCK[_Q|_K]
+    block_q, block_k = _blocks(nq, nk, has_bias=bias is not None)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
     # [B, N, H, D] -> [B, H, N_pad, D]; XLA fuses the transpose upstream
     qp = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
     kp = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
     vp = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+    biasp = None
+    if bias is not None:
+        biasp = jnp.pad(bias, ((0, 0), (0, 0), (0, nq_pad - nq),
+                               (0, nk_pad - nk)))
 
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=nk,
-                               block_k=block_k)
+                               block_k=block_k, has_bias=bias is not None)
     grid = (b, h, nq_pad // block_q)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if biasp is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_q, nk_pad),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(biasp)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -155,16 +182,22 @@ def _flash_forward(q, k, v, scale: float):
             bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
-    )(qp, kp, vp)
-    return out[:, :, :nq].transpose(0, 2, 1, 3), lse, (qp, kp, vp)
+    )(*operands)
+    return out[:, :, :nq].transpose(0, 2, 1, 3), lse, (qp, kp, vp, biasp)
 
 
 # --------------------------------------------------------------------------
 # backward: dQ kernel (query-block grid) and dK/dV kernel (kv-block grid)
 # --------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   scale: float, kv_len: int, block_k: int):
+def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
+                   has_bias: bool = False):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dq_ref, dbias_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        bias_ref = dbias_ref = None
     q = q_ref[0, 0, :, :]                # operand dtype
     do = do_ref[0, 0, :, :]
     lse = lse_ref[0, 0, :, :]            # [bq, 1] fp32
@@ -180,13 +213,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)].astype(
+                jnp.float32)
         if masked:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
         p = jnp.exp(s - lse)             # rows with lse=+inf give p=0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        ds_raw = p * (dp - delta)        # == dL/ds == dL/dbias
+        if dbias_ref is not None:
+            dbias_ref[0, 0, :, pl.ds(j * block_k, block_k)] = ds_raw.astype(
+                dbias_ref.dtype)
+        ds = (ds_raw * scale).astype(k.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -198,9 +238,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, q_len: int,
-                    block_q: int):
+def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
+                    has_bias: bool = False):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
+        bias_ref = None
     k = k_ref[0, 0, :, :]                        # [bk, d], operand dtype
     v = v_ref[0, 0, :, :]
     block_k, d = k.shape
@@ -217,6 +263,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                      # [bq, bk] fp32
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(
+                jnp.float32)
         p = jnp.exp(s - lse)
         dv_new = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -237,20 +286,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
-    """Padded [B, H, N_pad, D] residuals + grad -> (dq, dk, dv) unpadded
-    [B, N, H, D]."""
+def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int,
+                    biasp=None):
+    """Padded [B, H, N_pad, D] residuals + grad -> (dq, dk, dv[, dbias])
+    unpadded [B, N, H, D]."""
     b, h, nq_pad, d = qp.shape
     nk_pad = kp.shape[2]
     # same deterministic tiling as the forward (nq_pad/nk_pad are multiples
     # of the forward's picked blocks, so these divide them exactly)
-    import os
-
-    max_block = int(os.environ.get("VFMSEG_FLASH_BLOCK", "512"))
-    block_q = _pick_block(nq, int(os.environ.get("VFMSEG_FLASH_BLOCK_Q",
-                                                 max_block)))
-    block_k = _pick_block(nk, int(os.environ.get("VFMSEG_FLASH_BLOCK_K",
-                                                 max_block)))
+    has_bias = biasp is not None
+    block_q, block_k = _blocks(nq, nk, has_bias=has_bias)
 
     gp = jnp.pad(g.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
@@ -289,16 +334,37 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
     dq_specs[5] = pl.BlockSpec((1, 1, block_q, 1),
                                lambda bi, hi, i: (bi, hi, i, 0),
                                memory_space=pltpu.VMEM)
-    dq = pl.pallas_call(
+    dq_operands = [qp, kp, vp, gp, lse, delta]
+    dq_out_specs = pl.BlockSpec((1, 1, block_q, d),
+                                lambda bi, hi, i: (bi, hi, i, 0),
+                                memory_space=pltpu.VMEM)
+    dq_out_shape = jax.ShapeDtypeStruct(qp.shape, qp.dtype)
+    if has_bias:
+        dq_specs.append(
+            pl.BlockSpec((1, 1, block_q, nk_pad),
+                         lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM))
+        dq_operands.append(biasp)
+        dq_out_specs = (dq_out_specs,
+                        pl.BlockSpec((1, 1, block_q, nk_pad),
+                                     lambda bi, hi, i: (bi, hi, i, 0),
+                                     memory_space=pltpu.VMEM))
+        dq_out_shape = (dq_out_shape,
+                        jax.ShapeDtypeStruct(biasp.shape, jnp.float32))
+    dq_out = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k),
+                          block_k=block_k, has_bias=has_bias),
         grid=(b, h, nq_pad // block_q),
         in_specs=dq_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, hi, i: (bi, hi, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
-    )(qp, kp, vp, gp, lse, delta)
+        out_specs=dq_out_specs,
+        out_shape=dq_out_shape,
+    )(*dq_operands)
+    dbias = None
+    if has_bias:
+        dq, dbias = dq_out
+        dbias = dbias[:, :, :nq, :nk]
+    else:
+        dq = dq_out
 
     dkv_specs = list(common_specs)
     dkv_specs[1] = pl.BlockSpec((1, 1, block_k, d),
@@ -307,9 +373,16 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
     dkv_specs[2] = pl.BlockSpec((1, 1, block_k, d),
                                 lambda bi, hi, i: (bi, hi, i, 0),
                                 memory_space=pltpu.VMEM)
+    dkv_operands = [qp, kp, vp, gp, lse, delta]
+    if has_bias:
+        dkv_specs.append(
+            pl.BlockSpec((1, 1, nq_pad, block_k),
+                         lambda bi, hi, i: (bi, hi, 0, i),
+                         memory_space=pltpu.VMEM))
+        dkv_operands.append(biasp)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
-                          block_q=block_q),
+                          block_q=block_q, has_bias=has_bias),
         grid=(b, h, nk_pad // block_k),
         in_specs=dkv_specs,
         out_specs=(
@@ -320,11 +393,13 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int):
         ),
         out_shape=(jax.ShapeDtypeStruct(kp.shape, kp.dtype),
                    jax.ShapeDtypeStruct(vp.shape, vp.dtype)),
-    )(qp, kp, vp, gp, lse, delta)
+    )(*dkv_operands)
 
     dq = dq[:, :, :nq].transpose(0, 2, 1, 3)
     dk = dk[:, :, :nk].transpose(0, 2, 1, 3)
     dv = dv[:, :, :nk].transpose(0, 2, 1, 3)
+    if has_bias:
+        return dq, dk, dv, dbias
     return dq, dk, dv
 
 
@@ -335,7 +410,7 @@ def _flash(q, k, v, scale: float):
 
 
 def _flash_fwd_rule(q, k, v, scale: float):
-    out, lse, (qp, kp, vp) = _flash_forward(q, k, v, scale)
+    out, lse, (qp, kp, vp, _) = _flash_forward(q, k, v, scale)
     nq_pad = qp.shape[2]
     out_pad = jnp.pad(out.transpose(0, 2, 1, 3),
                       ((0, 0), (0, 0), (0, nq_pad - out.shape[1]), (0, 0)))
@@ -350,12 +425,44 @@ def _flash_bwd_rule(scale: float, res, g):
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_bias(q, k, v, bias, scale: float):
+    out, _, _ = _flash_forward(q, k, v, scale, bias)
+    return out
+
+
+def _flash_bias_fwd_rule(q, k, v, bias, scale: float):
+    out, lse, (qp, kp, vp, biasp) = _flash_forward(q, k, v, scale, bias)
+    nq_pad = qp.shape[2]
+    out_pad = jnp.pad(out.transpose(0, 2, 1, 3),
+                      ((0, 0), (0, 0), (0, nq_pad - out.shape[1]), (0, 0)))
+    return out, (qp, kp, vp, biasp, lse, out_pad, q.shape[1], k.shape[1])
+
+
+def _flash_bias_bwd_rule(scale: float, res, g):
+    qp, kp, vp, biasp, lse, out_pad, nq, nk = res
+    dq, dk, dv, dbias = _flash_backward(qp, kp, vp, lse, out_pad, g, scale,
+                                        nq, nk, biasp)
+    return dq, dk, dv, dbias.astype(biasp.dtype)
+
+
+_flash_bias.defvjp(_flash_bias_fwd_rule, _flash_bias_bwd_rule)
+
+
 def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = None
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    scale: Optional[float] = None, bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Flash attention over [B, N, H, D] tensors (no mask/bias support)."""
+    """Flash attention over [B, N, H, D] tensors. `bias` (optional) is an
+    additive attention bias broadcastable to [B, H, Nq, Nk] (e.g. SAM's
+    decomposed rel-pos, sam_vit.py add_decomposed_rel_pos)."""
     if q.ndim != 4:
         raise NotImplementedError("flash_attention expects [B, N, H, D]")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, float(scale))
+    if bias is None:
+        return _flash(q, k, v, float(scale))
+    b, nq, h, _ = q.shape
+    nk = k.shape[1]
+    bias = jnp.broadcast_to(bias, (b, h, nq, nk))
+    return _flash_bias(q, k, v, bias, float(scale))
