@@ -146,6 +146,28 @@ def main():
         batch_stats=variables.get("batch_stats", {}),
         opt_state=optimizer.init(trainable), ema=ema)
 
+    # ---- multi-chip data parallelism (the NCCL-DDP replacement) --------
+    # All local devices form a data mesh; the batch shards over it and
+    # gradients all-reduce automatically under jit. Disable or narrow with
+    # --cfg-options compute.data_parallel=N.
+    batch_sharding = None
+    n_dp = cfg.get_path("compute.data_parallel", len(jax.devices()))
+    if n_dp > 1:
+        from vfmseg_tpu.parallel.mesh import (
+            batch_sharding as make_batch_sharding, make_mesh, replicate)
+
+        bs = dcfg.get("batch_size", 2)
+        if bs % n_dp:
+            n_dp = max(d for d in range(1, n_dp + 1) if bs % d == 0)
+            print(f"batch_size {bs} not divisible by device count; "
+                  f"using data_parallel={n_dp}")
+        if n_dp > 1:
+            mesh = make_mesh(data=n_dp, model=1,
+                             devices=jax.devices()[:n_dp])
+            state = jax.device_put(state, replicate(mesh))
+            batch_sharding = make_batch_sharding(mesh)
+            print(f"data-parallel training over {n_dp} devices")
+
     if uda_cfg:
         dacs = DACSConfig(
             pseudo_threshold=uda_cfg.get("pseudo_threshold", 0.968),
@@ -287,7 +309,8 @@ def main():
         val_interval=sched.get("val_interval", 0), val_fn=val_fn,
         debug_interval=debug_interval, debug_fn=debug_fn,
         save_best=sched.get("save_best"),
-        resume=args.resume)
+        resume=args.resume,
+        batch_sharding=batch_sharding)
     loader.close()
 
 

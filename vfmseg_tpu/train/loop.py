@@ -61,7 +61,11 @@ def train_loop(
     debug_fn: Optional[Callable] = None,
     save_best: Optional[str] = None,
     resume: bool = False,
+    batch_sharding=None,
 ) -> TrainState:
+    """batch_sharding: optional NamedSharding placing each batch over the
+    data mesh axis (multi-chip data parallelism; gradients all-reduce
+    automatically under jit — the NCCL-DDP replacement, SURVEY §2.10)."""
     ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
     logger = MetricLogger(work_dir)
     best_metric = float("-inf")
@@ -74,6 +78,8 @@ def train_loop(
     for it in range(start, max_iters):
         batch = next(data_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if batch_sharding is not None:
+            batch = jax.device_put(batch, batch_sharding)
         state, metrics = step_fn(state, batch, rng)
         if (it + 1) % window == 0:
             steps_per_s = window / max(time.time() - t0, 1e-9)
