@@ -180,3 +180,32 @@ class TestResizeTorchParity:
             torch.from_numpy(lab)[:, None].float(), size=(25, 7),
             mode="nearest")[:, 0].long().numpy()
         np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+class TestDeformSampling:
+    def test_matmul_sampling_matches_gather(self):
+        from vfmseg_tpu.ops.deform_attn import (
+            bilinear_sample_matmul, bilinear_sample_nhwc)
+
+        value = _rand(0, (3, 7, 9, 5))
+        # locations incl. out-of-range (zero-padding semantics)
+        loc = jnp.asarray(_rand(1, (3, 40, 2))) * 1.4 - 0.2
+        a = bilinear_sample_nhwc(jnp.asarray(value), loc)
+        b = bilinear_sample_matmul(jnp.asarray(value), loc)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_matmul_sampling_grad_matches_gather(self):
+        from vfmseg_tpu.ops.deform_attn import (
+            bilinear_sample_matmul, bilinear_sample_nhwc)
+
+        value = jnp.asarray(_rand(2, (2, 6, 6, 4)))
+        loc = jnp.asarray(_rand(3, (2, 25, 2))) * 0.9 + 0.05
+
+        ga = jax.grad(lambda v, l: jnp.sum(bilinear_sample_nhwc(v, l) ** 2),
+                      argnums=(0, 1))(value, loc)
+        gb = jax.grad(lambda v, l: jnp.sum(bilinear_sample_matmul(v, l) ** 2),
+                      argnums=(0, 1))(value, loc)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -1,4 +1,4 @@
-"""Multi-scale deformable attention sampling (XLA gather-based).
+"""Multi-scale deformable attention sampling.
 
 TPU-native replacement for the mmcv/mmdet MSDeformAttn CUDA op used by the
 Mask2Former pixel decoder (reference config
@@ -7,8 +7,15 @@ Semantics follow the original: sampling locations normalized to [0, 1],
 bilinear sampling with align_corners=False and zero padding, per-head
 per-level per-point softmaxed attention weights.
 
-The bilinear sample is 4 gathers + a lerp — XLA lowers the gathers to
-dynamic-slice batches on TPU. All shapes static.
+Two interchangeable sampling backends:
+  * gather (`bilinear_sample_nhwc`): 4 gathers + lerp — fast where gathers
+    are cheap (CPU), pathological on TPU (measured 67 ms for one pixel-
+    decoder layer's samples: TPU has no vector gather hardware).
+  * separable one-hot matmul (`bilinear_sample_matmul`): sampled[n] =
+    Ry[n] · V · Cx[n] with 2-tap interpolation one-hots built by iota
+    comparison — all MXU/VPU work, no gathers, autodiff-friendly. This is
+    the TPU default (`ms_deform_attn_core` dispatches on the backend).
+All shapes static.
 """
 
 from __future__ import annotations
@@ -54,6 +61,37 @@ def bilinear_sample_nhwc(value: jax.Array, loc: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
+def _axis_onehot(coord: jax.Array, size: int) -> jax.Array:
+    """[B, N] continuous source coords (in pixel units, may be out of
+    range) -> [B, N, size] 2-tap interpolation weights (zero outside)."""
+    lo = jnp.floor(coord)
+    frac = (coord - lo).astype(jnp.float32)
+    ids = jnp.arange(size, dtype=jnp.int32)
+    lo_i = lo.astype(jnp.int32)[..., None]
+    w = (jnp.where(ids == lo_i, 1.0 - frac[..., None], 0.0)
+         + jnp.where(ids == lo_i + 1, frac[..., None], 0.0))
+    return w
+
+
+def bilinear_sample_matmul(value: jax.Array, loc: jax.Array) -> jax.Array:
+    """Same contract as bilinear_sample_nhwc, as separable one-hot matmuls:
+    sampled[b, n, c] = sum_{h, w} Ry[b, n, h] * Cx[b, n, w] * V[b, h, w, c].
+    One [N, H] x [H, W*C] matmul per batch row rides the MXU; out-of-range
+    taps carry zero weight (grid_sample zero padding)."""
+    b, h, w, c = value.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    ry = _axis_onehot(y, h).astype(value.dtype)     # [B, N, H]
+    cx = _axis_onehot(x, w).astype(value.dtype)     # [B, N, W]
+    t = jnp.einsum("bnh,bhwc->bnwc", ry, value)     # MXU
+    return jnp.einsum("bnw,bnwc->bnc", cx, t)
+
+
+def _sample_impl():
+    return (bilinear_sample_matmul if jax.default_backend() == "tpu"
+            else bilinear_sample_nhwc)
+
+
 def ms_deform_attn_core(
     value_list: Sequence[jax.Array],       # per level [B, H_l, W_l, heads, d]
     sampling_locations: jax.Array,         # [B, Nq, heads, L, P, 2] in [0,1]
@@ -68,7 +106,7 @@ def ms_deform_attn_core(
         v = value.transpose(0, 3, 1, 2, 4).reshape(b * heads, h, w, d)
         loc = sampling_locations[:, :, :, lvl]          # [B, Nq, heads, P, 2]
         loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq * num_points, 2)
-        sampled = bilinear_sample_nhwc(v, loc)          # [B*heads, Nq*P, d]
+        sampled = _sample_impl()(v, loc)                # [B*heads, Nq*P, d]
         sampled = sampled.reshape(b, heads, nq, num_points, d)
         wts = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,h,Nq,P]
         outputs.append(jnp.einsum("bhnpd,bhnp->bhnd", sampled,
