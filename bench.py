@@ -143,10 +143,16 @@ def scale_decode_head(variables, s):
         return jax.tree_util.tree_map(lambda x: (x.astype(jnp.float32) * s)
                                       .astype(x.dtype), tree)
 
-    # conv_seg is the final classifier of LinearHead
-    seg_key = "conv_seg" if "conv_seg" in head else sorted(head)[-1]
+    # conv_seg is the final classifier of LinearHead — the logits are linear
+    # in it, which is what makes the calibration exact; other head families
+    # have no such single scaling point
+    if "conv_seg" not in head:
+        raise ValueError(
+            "gate calibration requires a decode head with a conv_seg "
+            "classifier (MsVFM/LinearHead); use --mode dense for "
+            f"this config (head params: {sorted(head)})")
     new_head = dict(head)
-    new_head[seg_key] = scaled(head[seg_key])
+    new_head["conv_seg"] = scaled(head["conv_seg"])
     params = dict(v["params"])
     params["decode_head"] = new_head
     v = dict(v)

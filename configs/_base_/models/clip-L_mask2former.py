@@ -16,6 +16,8 @@ def get_config():
             decode_head=P.mask2former_head(d, rein=True),
         ),
         test_cfg=P.slide_test_cfg(crop=512, stride=341),
-        peft=dict(enabled=True, adapter_keywords=["reins"]),
+        # ReinsCLIP trains the FPN pyramid alongside the adapters
+        # (reference reins_clip.py:87-90)
+        peft=dict(enabled=True, adapter_keywords=["reins", "fpn"]),
         compute=dict(dtype="bfloat16", attn_impl="auto"),
     )

@@ -67,6 +67,25 @@ def test_stream_matches_dense_per_image():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_bucket_overflow_still_refines_everything():
+    """More needed windows than the largest bucket must NOT silently drop
+    refinements (the identical-to-dense contract)."""
+    lr_fn, hr_fn = _fns()
+    img = jax.random.normal(K(4), (2, 64, 64, 3))  # 18 windows total
+
+    dense = ms_slide_inference(
+        lambda x: lr_fn(None, x), lambda c, t: hr_fn(None, c, t), img,
+        crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8)
+    compact = CompactMsSlide(
+        lr_fn, hr_fn, crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8, buckets=(0, 2))  # force overflow
+    out, n_refined = compact(None, img)
+    assert n_refined > 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_compact_all_confident_refines_nothing():
     def lr_fn(variables, x):
         return jnp.zeros(x.shape[:3] + (4,)).at[..., 1].set(100.0)

@@ -110,10 +110,13 @@ def main():
         print(f"loaded backbone weights from {args.backbone_init} "
               f"-> {'/'.join(prefix)}")
 
+    from vfmseg_tpu.train.optim import ADAPTER_KEYWORDS
+
     peft = cfg.get("peft", {})
     pred = trainable_predicate(
         peft=peft.get("enabled", True),
-        adapter_keywords=tuple(peft.get("adapter_keywords", ("lora", "reins"))))
+        adapter_keywords=tuple(peft.get("adapter_keywords",
+                                        ADAPTER_KEYWORDS)))
     trainable, frozen = partition_params(params, pred)
 
     ocfg = cfg.get("optimizer", {})

@@ -33,7 +33,10 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the table (large groups with an uncalibrated model): round up
+    # to a 32-multiple so every needed window is still refined — silently
+    # truncating would break the identical-to-dense-path contract
+    return -(-n // 32) * 32
 
 
 class CompactMsSlide:

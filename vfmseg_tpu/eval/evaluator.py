@@ -169,24 +169,12 @@ def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
 def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
     """Gated two-phase ms_slide (eval/compact.py): identical outputs to the
     dense path, but only low-confidence windows are refined."""
-    from vfmseg_tpu.eval.compact import CompactMsSlide
-
-    inner, rescope = unwrap_model(model)
-    if rescope is not None:
-        inner_predict = make_compact_ms_predict_fn(inner, test_cfg, out_hw)
-        return lambda variables, img: inner_predict(rescope(variables), img)
-
-    lr_fn, hr_fn = _msvfm_fns(model)
-    compact = CompactMsSlide(
-        lr_fn, hr_fn,
-        crop=tuple(test_cfg.get("crop_size", (512, 512))),
-        stride=tuple(test_cfg.get("stride", (320, 320))),
-        lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
-        threshold=test_cfg.get("threshold", 0.968),
-        conf=test_cfg.get("conf", 0.8))
+    compact, rescope = make_compact_ms_slide(model, test_cfg or {})
     finish = jax.jit(lambda logits: _finish(logits, out_hw))
 
     def predict(variables, img):
+        if rescope is not None:
+            variables = rescope(variables)
         logits, _n = compact(variables, img)
         return finish(logits)
 

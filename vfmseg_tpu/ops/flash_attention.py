@@ -112,6 +112,11 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
 def _blocks(nq: int, nk: int, has_bias: bool = False):
     import os
 
+    # an explicit env override wins over the single-block heuristic (else
+    # block-size sweeps below _SINGLE_BLOCK_MAX tokens would silently
+    # measure identical kernels)
+    explicit = any(k in os.environ for k in (
+        "VFMSEG_FLASH_BLOCK", "VFMSEG_FLASH_BLOCK_Q", "VFMSEG_FLASH_BLOCK_K"))
     max_block = int(os.environ.get("VFMSEG_FLASH_BLOCK", "512"))
     max_q = int(os.environ.get("VFMSEG_FLASH_BLOCK_Q", max_block))
     max_k = int(os.environ.get("VFMSEG_FLASH_BLOCK_K", max_block))
@@ -119,8 +124,9 @@ def _blocks(nq: int, nk: int, has_bias: bool = False):
         # the bias/dbias tiles share VMEM with the score tiles — keep query
         # blocks small enough that (bias + dbias + s + p) stays under ~8 MB
         max_q = min(max_q, 256)
-    block_q = _pick_block(nq, max_q, allow_single=not has_bias)
-    block_k = _pick_block(nk, max_k, allow_single=not has_bias)
+    allow_single = not has_bias and not explicit
+    block_q = _pick_block(nq, max_q, allow_single=allow_single)
+    block_k = _pick_block(nk, max_k, allow_single=allow_single)
     return block_q, block_k
 
 

@@ -77,9 +77,12 @@ def train_loop(
     window = max(log_interval, 1)
     for it in range(start, max_iters):
         batch = next(data_iter)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if batch_sharding is not None:
-            batch = jax.device_put(batch, batch_sharding)
+            # one transfer, straight to the sharded layout (jnp.asarray
+            # first would land on device 0 and then reshard)
+            batch = jax.device_put(dict(batch), batch_sharding)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch, rng)
         if (it + 1) % window == 0:
             steps_per_s = window / max(time.time() - t0, 1e-9)
