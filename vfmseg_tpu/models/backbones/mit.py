@@ -77,7 +77,7 @@ class MixFFN(nn.Module):
         x = nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
                     feature_group_count=self.hidden_dim, dtype=self.dtype,
                     name="dwconv")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)   # torch nn.GELU (exact erf)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
