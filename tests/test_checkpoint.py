@@ -147,3 +147,20 @@ def test_compose_full_params(tmp_path):
     full = compose_full_params(path, backbone)
     assert "decode_head" in full
     assert "lora" in full["backbone"] and "w0" in full["backbone"]
+
+
+def test_async_save_with_donated_source(tmp_path):
+    """Async save must survive the caller's buffers being donated/deleted
+    right after save() returns (the train step donates state)."""
+    mgr = CheckpointManager(str(tmp_path), max_keep=2, async_save=True)
+    state = _state(7, seed=7)
+    mgr.save(state)
+    # simulate donation: delete the source buffers immediately
+    for leaf in jax.tree_util.tree_leaves(state.trainable):
+        leaf.delete()
+    mgr.wait()
+    restored = mgr.restore(_state(0, seed=0))
+    assert int(restored.step) == 7
+    expect = _state(7, seed=7)
+    np.testing.assert_allclose(np.asarray(restored.trainable["head"]["w"]),
+                               np.asarray(expect.trainable["head"]["w"]))

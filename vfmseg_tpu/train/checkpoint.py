@@ -40,17 +40,48 @@ def load_pytree(path: str):
 
 
 class CheckpointManager:
-    """Iteration-numbered checkpoints with max_keep pruning + resume."""
+    """Iteration-numbered checkpoints with max_keep pruning + resume.
 
-    def __init__(self, work_dir: str, max_keep: int = 3):
+    With async_save=True, save() snapshots the (immutable) device arrays and
+    a background thread performs the device->host readback + npz write, so
+    the train loop never stalls on checkpoint IO — on hosts that reach the
+    accelerator over a slow link the readback can take longer than dozens
+    of train steps."""
+
+    def __init__(self, work_dir: str, max_keep: int = 3,
+                 async_save: bool = False):
         self.dir = os.path.join(work_dir, "checkpoints")
         os.makedirs(self.dir, exist_ok=True)
         self.max_keep = max_keep
+        self.async_save = async_save
+        self._pending = None
 
     def _path(self, step: int, part: str) -> str:
         return os.path.join(self.dir, f"iter_{step:07d}.{part}.npz")
 
+    def wait(self) -> None:
+        """Block until an in-flight async save finishes."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
     def save(self, state: TrainState, *, light: bool = True) -> None:
+        if not self.async_save:
+            self._save_sync(state, light=light)
+            return
+        import threading
+
+        self.wait()  # at most one save in flight
+        # device-side copy BEFORE returning: the train step donates the
+        # state buffers, so the live arrays would be deleted under the
+        # worker thread's feet on the next step
+        snapshot = jax.tree_util.tree_map(jax.numpy.copy, state)
+        self._pending = threading.Thread(
+            target=self._save_sync, args=(snapshot,), kwargs={"light": light},
+            daemon=True)
+        self._pending.start()
+
+    def _save_sync(self, state: TrainState, *, light: bool = True) -> None:
         step = int(state.step)
         save_pytree(self._path(step, "trainable"), {"t": state.trainable})
         if state.batch_stats:
@@ -74,6 +105,7 @@ class CheckpointManager:
         self._prune()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         steps = set()
         for f in os.listdir(self.dir):
             m = re.match(r"iter_(\d+)\.trainable\.npz", f)
@@ -82,6 +114,7 @@ class CheckpointManager:
         return max(steps) if steps else None
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        self.wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             return state

@@ -66,7 +66,8 @@ def train_loop(
     """batch_sharding: optional NamedSharding placing each batch over the
     data mesh axis (multi-chip data parallelism; gradients all-reduce
     automatically under jit — the NCCL-DDP replacement, SURVEY §2.10)."""
-    ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
+    ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts,
+                             async_save=True)
     logger = MetricLogger(work_dir)
     best_metric = float("-inf")
     if resume:
@@ -108,4 +109,5 @@ def train_loop(
         if debug_interval and debug_fn is not None and (it + 1) % debug_interval == 0:
             # reference log_config.img_interval debug dumps (SURVEY §5.5)
             debug_fn(state, batch, it + 1)
+    ckpt.wait()   # flush any in-flight async checkpoint before returning
     return state
