@@ -98,3 +98,33 @@ def test_compact_all_confident_refines_nothing():
     out, n = compact(None, jax.random.normal(K(2), (1, 64, 64, 3)))
     assert n == 0
     assert out.shape == (1, 64, 64, 4)
+
+
+def test_stream_evaluate_matches_predict_fn():
+    """The CLI's gated stream path must produce the same predictions as the
+    per-image compact predictor (tools/test.py use_stream branch)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_models import build_tiny_msvfm
+
+    from vfmseg_tpu.eval.evaluator import make_predict_fn, stream_evaluate
+
+    model = build_tiny_msvfm()
+    img0 = jax.random.normal(K(0), (1, 128, 128, 3))
+    lab0 = jax.random.randint(K(1), (1, 128, 128), 0, 5)
+    variables = model.init(
+        {"params": K(2), "crop": K(3), "mask": K(4), "dropout": K(5)},
+        img0, lab0)
+    test_cfg = dict(mode="ms_slide_inference", gate="compact",
+                    threshold=0.968, conf=0.8, lr_img_size=(64, 64),
+                    stride=(32, 32), crop_size=(64, 64))
+    images = [jax.random.normal(K(10 + i), (128, 128, 3)) for i in range(5)]
+
+    predict = make_predict_fn(model, test_cfg, out_hw=(128, 128))
+    expected = [np.asarray(predict(variables, im[None])[0]) for im in images]
+
+    got = [np.asarray(p) for p in stream_evaluate(
+        model, variables, test_cfg, images, out_hw=(128, 128), group=2)]
+    assert len(got) == 5
+    for a, b in zip(got, expected):
+        np.testing.assert_array_equal(a, b)
