@@ -35,7 +35,11 @@ def main():
     trainable = load_pytree(args.checkpoint)
     trainable = trainable.get("t", trainable)
     backbone = load_pytree(args.backbone)
-    full = merge_params(trainable, {"backbone": backbone})
+    # DomainGeneral checkpoints nest the segmentor under "model/"
+    from vfmseg_tpu.train.optim import nest_under, resolve_backbone_prefix
+
+    prefix = resolve_backbone_prefix(trainable) if trainable else ("backbone",)
+    full = merge_params(trainable, nest_under(prefix, backbone))
     save_pytree(args.out, full)
     n = sum(v.size for v in np.load(args.out).values())
     print(f"wrote {args.out}: {n:,} params")

@@ -79,6 +79,10 @@ def resolve_backbone_prefix(params, backbone_key: str = "backbone"):
     for k, v in params.items():
         if isinstance(v, dict) and backbone_key in v:
             return (k, backbone_key)
+    if "model" in params:
+        # wrapper tree whose trainable partition holds no backbone params
+        # (fully frozen backbone) — the backbone still lives under model/
+        return ("model", backbone_key)
     return (backbone_key,)
 
 
