@@ -182,9 +182,10 @@ def main():
     ap.add_argument("--images", type=int, default=32)
     ap.add_argument("--group", type=int, default=8,
                     help="stage-1 batch (compact mode)")
-    ap.add_argument("--depth", type=int, default=2,
+    ap.add_argument("--depth", type=int, default=3,
                     help="stream pipeline depth (groups in flight; each "
-                         "holds a ~2.8 GB fp32 ctx buffer at bs8 1024x2048)")
+                         "holds a ~1.4 GB bf16 ctx buffer at bs8 1024x2048; "
+                         "3 measured best on v5e)")
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048),
                     help="benchmark image size (Cityscapes protocol)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
@@ -314,7 +315,7 @@ def main():
         # (run stage-1 at the SAME grouped batch the stream uses, so the
         # expensive ViT-L stage-1 compile happens exactly once)
         img_cal = jnp.stack(images[:args.group])
-        _full, ctx, _c = compact._stage1(variables, img_cal, (h, w))
+        ctx, _c = compact._stage1(variables, img_cal, (h, w))
         s, achieved = calibrate_logit_scale(ctx, threshold, conf)
         variables = scale_decode_head(variables, s)
         extras["gate_skip_rate"] = round(achieved, 3)

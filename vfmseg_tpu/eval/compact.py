@@ -74,7 +74,9 @@ class CompactMsSlide:
         confidence = jnp.mean(
             (jnp.max(probs, axis=-1) > self.threshold).astype(jnp.float32),
             axis=(1, 2))
-        return full, ctx, confidence
+        # the full-res map is NOT returned: every pending stream group would
+        # otherwise pin a [B, H, W, C] buffer (~2.5 GB at bs8 1024x2048)
+        return ctx, confidence
 
     def _finish_fn(self, k: int, img_hw: Tuple[int, int]) -> Callable:
         """One fused jit per (refine-bucket, image size): gather the k
@@ -106,7 +108,7 @@ class CompactMsSlide:
     def __call__(self, variables, img: jax.Array) -> jax.Array:
         """img: [B, H, W, 3] -> (seg logits [B, H, W, C], n_refined)."""
         h, w = img.shape[1], img.shape[2]
-        _full, ctx, confidence = self._stage1(variables, img, (h, w))
+        ctx, confidence = self._stage1(variables, img, (h, w))
         conf_host = np.asarray(confidence)          # tiny readback
         return self._finish(variables, img, ctx, conf_host)
 
@@ -158,7 +160,7 @@ class CompactMsSlide:
 
         for img in chunks():
             h, w = img.shape[1], img.shape[2]
-            _full, ctx, confidence = self._stage1(variables, img, (h, w))
+            ctx, confidence = self._stage1(variables, img, (h, w))
             pending.append((img, ctx, confidence))
             if len(pending) > depth:
                 yield from finish(*pending.popleft())
