@@ -114,3 +114,38 @@ class TestMetrics:
             l = (label == c) & valid
             assert inter[c] == (p & l).sum()
             assert union[c] == (p | l).sum()
+
+
+class TestTTA:
+    def test_flip_averaging_math(self):
+        """tta = mean(softmax(f(x)), unflip(softmax(f(flip(x)))))."""
+        import jax
+
+        from vfmseg_tpu.eval.tta import tta_logits
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (3, 4))
+
+        def logits_fn(x):
+            # deliberately position-sensitive (not flip-equivariant)
+            ramp = jnp.linspace(0.0, 1.0, x.shape[2])[None, None, :, None]
+            return x @ w + ramp
+
+        img = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3))
+        got = tta_logits(logits_fn, img, flip=True, scales=(1.0,))
+
+        p0 = jax.nn.softmax(logits_fn(img), axis=-1)
+        p1 = jax.nn.softmax(logits_fn(img[:, :, ::-1]), axis=-1)[:, :, ::-1]
+        expect = (p0 + p1) / 2.0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-6)
+        # probabilities: sums to one
+        np.testing.assert_allclose(np.asarray(got.sum(-1)), 1.0, rtol=1e-5)
+
+    def test_multiscale_shapes(self):
+        from vfmseg_tpu.eval.tta import tta_logits
+
+        w = jax.random.normal(jax.random.PRNGKey(2), (3, 5))
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        got = tta_logits(lambda x: x @ w, img, flip=True, scales=(0.5, 1.0))
+        assert got.shape == (2, 16, 16, 5)
+        np.testing.assert_allclose(np.asarray(got.sum(-1)), 1.0, rtol=1e-5)
