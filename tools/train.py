@@ -33,6 +33,9 @@ def parse_args():
                    help="multi-host: jax.distributed.initialize() (the "
                         "jax-native replacement for torch.distributed.launch, "
                         "SURVEY §5.8)")
+    p.add_argument("--list-params", action="store_true",
+                   help="print every trainable parameter path and shape "
+                        "(reference rein/utils/print_trainable_param.py)")
     return p.parse_args()
 
 
@@ -132,6 +135,11 @@ def main():
     n_total = n_train + sum(x.size for x in jax.tree_util.tree_leaves(frozen))
     print(f"trainable params: {n_train:,} / {n_total:,} "
           f"({100.0 * n_train / n_total:.2f}%)")
+    if args.list_params:
+        from flax.traverse_util import flatten_dict
+
+        for key, leaf in sorted(flatten_dict(trainable).items()):
+            print(f"  [train] {'/'.join(key)}: {tuple(leaf.shape)}")
 
     ema = None
     if uda_cfg:
