@@ -88,9 +88,20 @@ def _apply_separable(x: jax.Array, out_hw: Tuple[int, int], method: str,
     wh = jnp.asarray(_interp_matrix(h, oh, method, align_corners, scales[0]))
     ww = jnp.asarray(_interp_matrix(w, ow, method, align_corners, scales[1]))
     dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        # bf16 data: bf16 matmuls with fp32 accumulation — the interp
+        # weights' bf16 rounding (~1e-3) is below the data's own ulp, and
+        # fp32 operands would run the MXU several times slower
+        y = jnp.einsum("oh,...hwc->...owc", wh.astype(dtype), x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("ow,...hwc->...hoc", ww.astype(dtype),
+                       y.astype(dtype), preferred_element_type=jnp.float32)
+        return y.astype(dtype)
+    # fp32 path: full precision (torch-parity numerics; TPU default would
+    # silently use 3-pass bf16)
     xf = x.astype(jnp.float32)
-    xf = jnp.einsum("oh,...hwc->...owc", wh, xf)
-    xf = jnp.einsum("ow,...hwc->...hoc", ww, xf)
+    xf = jnp.einsum("oh,...hwc->...owc", wh, xf, precision="highest")
+    xf = jnp.einsum("ow,...hwc->...hoc", ww, xf, precision="highest")
     return xf.astype(dtype)
 
 
