@@ -13,6 +13,6 @@ Design principles (TPU-first, not a port):
   * `jax.sharding.Mesh` + NamedSharding for data/model parallelism
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from vfmseg_tpu.core.registry import Registry, MODELS, DATASETS  # noqa: F401
