@@ -162,7 +162,7 @@ def main():
                 raw = dataset[i]
                 proc = pipeline(raw["img"], raw.get("label"))
                 pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
-                acc.update(pred, proc["label"], key)
+                acc.update(pred, proc.get("label"), key)
                 save_pred(pred, raw, i)
 
     results = acc.compute()

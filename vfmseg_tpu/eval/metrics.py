@@ -64,6 +64,10 @@ class IoUAccumulator:
         return "default"
 
     def update(self, pred, label, path: str = ""):
+        if label is None:
+            # unannotated split (predictions-only export, e.g. --show-dir on
+            # a test set without ground truth) — nothing to accumulate
+            return
         inter, union, apred, alabel = intersect_and_union(
             jnp.asarray(pred), jnp.asarray(label), self.num_classes,
             self.ignore_index)
