@@ -21,7 +21,7 @@ dispatcher (Pallas flash kernel on TPU where applicable).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ Rebuilds rein/models/uda/dacs.py as one functional jitted step
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
