@@ -7,8 +7,8 @@ way production eval runs it (reference protocol: stage-1 whole pass at
 Ms_VFM_encoder_decoder.py:400-466):
 
   * default mode "compact": the gated two-phase engine (eval/compact.py)
-    with stage-1 batched over groups of 4 images and the gate's host
-    readback pipelined behind the next group's stage-1 dispatch. The gate
+    with stage-1 batched over groups of 8 images and the gate's host
+    readback pipelined 3 groups deep behind subsequent dispatches. The gate
     rate is made realistic by random-init weights with the decode head's
     logit scale CALIBRATED on-device so ~80% of windows pass the 0.968/0.8
     gate — matching the reference's trained-model behavior where most crops
