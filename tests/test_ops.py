@@ -56,6 +56,44 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_flash_headmajor_matches_xla_interpret(self):
+        """Head-major no-pad kernel: forward at a non-block-aligned length
+        (Mosaic-padded tail blocks must be masked, not leak garbage)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_headmajor
+
+        q, k, v = (_rand(i + 40, (2, 3, 77, 16)) for i in range(3))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_headmajor(q, k, v)
+        ref = xla_attention(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.transpose(0, 2, 1, 3)),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_flash_headmajor_grad_matches_xla(self):
+        """Head-major backward kernels (dQ, dK/dV) with a ragged tail: the
+        dkv kernel's q_len masking must zero Mosaic pad-row contributions."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_headmajor
+
+        q, k, v = (_rand(i + 50, (2, 2, 77, 16)) for i in range(3))
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention_headmajor(q, k, v) ** 2)
+
+        def f_xla(q, k, v):
+            out = xla_attention(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
+            return jnp.sum(out ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_flash_bias_matches_xla_interpret(self):
         """Additive-bias path (SAM decomposed rel-pos shape), fwd + all four
         gradients incl. dbias, with non-block-aligned lengths and a
@@ -209,3 +247,81 @@ class TestDeformSampling:
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestLayerNorm:
+    def test_pallas_ln_matches_reference_interpret(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.norm import _ln, _ln_reference
+
+        x = _rand(60, (2, 77, 96))
+        scale = _rand(61, (96,)) * 0.1 + 1.0
+        bias = _rand(62, (96,)) * 0.1
+        with pltpu.force_tpu_interpret_mode():
+            y = _ln(x, scale, bias, 1e-6)
+        ref = _ln_reference(x, scale, bias, 1e-6)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ln_grad_matches_flax(self):
+        import flax.linen as nn
+
+        from vfmseg_tpu.ops.norm import LayerNorm
+
+        x = _rand(63, (3, 50, 64))
+
+        def loss_custom(x):
+            mod = LayerNorm(epsilon=1e-6)
+            v = mod.init(jax.random.PRNGKey(0), x)
+            return jnp.sum(mod.apply(v, x) ** 2)
+
+        def loss_flax(x):
+            mod = nn.LayerNorm(epsilon=1e-6)
+            v = mod.init(jax.random.PRNGKey(0), x)
+            return jnp.sum(mod.apply(v, x) ** 2)
+
+        g1 = jax.grad(loss_custom)(x)
+        g2 = jax.grad(loss_flax)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFlashQKVDirect:
+    def test_qkv_direct_matches_xla_interpret(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv
+
+        b, n, h, d = 2, 77, 4, 16
+        qkv = _rand(70, (b, n, 3 * h * d))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qkv(qkv, h)
+        qkv_r = qkv.reshape(b, n, 3, h, d)
+        ref = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2])
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.transpose(0, 2, 1, 3)),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_qkv_direct_grad_matches_xla(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv
+
+        b, n, h, d = 1, 53, 2, 16
+        qkv = _rand(71, (b, n, 3 * h * d))
+
+        def f_flash(qkv):
+            return jnp.sum(flash_attention_qkv(qkv, h) ** 2)
+
+        def f_xla(qkv):
+            qkv_r = qkv.reshape(b, n, 3, h, d)
+            out = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1],
+                                qkv_r[:, :, 2])
+            return jnp.sum(out ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(f_flash)(qkv)
+        g2 = jax.grad(f_xla)(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)

@@ -161,6 +161,13 @@ class CompactMsSlide:
         for img in chunks():
             h, w = img.shape[1], img.shape[2]
             ctx, confidence = self._stage1(variables, img, (h, w))
+            # start the tiny gate readback NOW so it rides along while later
+            # groups dispatch — np.asarray at pop time then returns
+            # immediately instead of paying the relay round-trip
+            try:
+                confidence.copy_to_host_async()
+            except AttributeError:
+                pass
             pending.append((img, ctx, confidence))
             if len(pending) > depth:
                 yield from finish(*pending.popleft())

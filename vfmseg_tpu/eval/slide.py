@@ -50,6 +50,22 @@ def extract_crops(x: jax.Array, boxes: Sequence[Tuple[int, int]],
     return jnp.concatenate(crops, axis=0)
 
 
+@functools.lru_cache(maxsize=64)
+def _coverage_inv(boxes: Tuple[Tuple[int, int], ...], crop: Tuple[int, int],
+                  out_hw: Tuple[int, int]):
+    """Static per-pixel 1/coverage of the slide grid (host-computed: the
+    count plane is pure geometry, so scatter-adding it on device and
+    dividing was two wasted HBM passes). Returns numpy — converting to a
+    device constant per trace keeps cached values out of jit scopes."""
+    import numpy as np
+
+    count = np.zeros((out_hw[0], out_hw[1], 1), np.float32)
+    ch, cw = crop
+    for (y1, x1) in boxes:
+        count[y1:y1 + ch, x1:x1 + cw] += 1.0
+    return 1.0 / count
+
+
 def accumulate_crops(crop_logits: jax.Array, boxes: Sequence[Tuple[int, int]],
                      out_hw: Tuple[int, int]) -> jax.Array:
     """Overlap-average [G*B, ch, cw, C] crop logits into [B, H, W, C]."""
@@ -57,12 +73,11 @@ def accumulate_crops(crop_logits: jax.Array, boxes: Sequence[Tuple[int, int]],
     b = crop_logits.shape[0] // g
     ch, cw, c = crop_logits.shape[1:]
     preds = jnp.zeros((b, out_hw[0], out_hw[1], c), dtype=jnp.float32)
-    count = jnp.zeros((b, out_hw[0], out_hw[1], 1), dtype=jnp.float32)
     for i, (y1, x1) in enumerate(boxes):
         piece = crop_logits[i * b:(i + 1) * b].astype(jnp.float32)
         preds = preds.at[:, y1:y1 + ch, x1:x1 + cw].add(piece)
-        count = count.at[:, y1:y1 + ch, x1:x1 + cw].add(1.0)
-    return preds / count
+    return preds * jnp.asarray(
+        _coverage_inv(tuple(boxes), (ch, cw), tuple(out_hw)))
 
 
 def whole_inference(logits_fn: Callable[[jax.Array], jax.Array],

@@ -94,6 +94,75 @@ def make_dense(name: str, features: int, use_bias: bool, lora: Optional[LoRASpec
                      kernel_init=kernel_init, name=name)
 
 
+class HeadMajorDense(nn.Module):
+    """Projection(s) emitting head-major [B, H, N, D] slots directly.
+
+    Param-tree compatible with ``LoRADense(features=slots*H*D)`` — identical
+    kernel/bias/lora_a/lora_b shapes — but computed as one einsum per slot
+    ("bne,ehd->bhnd") so q/k/v are born in the layout the flash kernel
+    consumes: no [B, N, slots, H, D] tensor is ever sliced, transposed, or
+    padded in HBM (measured ~32% of ViT-L stage-1 device time on v5e).
+    `slots=3` covers DINOv2/CLIP/SAM's fused qkv; `slots=1` covers EVA02's
+    split q/k/v projections (eva_02.py:271-283).
+    """
+
+    num_heads: int
+    head_dim: int
+    slots: int = 3
+    use_bias: bool = True
+    rank: int = 0
+    alpha: float = 1.0
+    lora_dropout: float = 0.0
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        b, n, e = x.shape
+        hh, d, s = self.num_heads, self.head_dim, self.slots
+        kernel = self.param("kernel", self.kernel_init, (e, s * hh * d))
+        w = kernel.astype(self.dtype).reshape(e, s, hh, d)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (s * hh * d,))
+            bias = bias.astype(self.dtype).reshape(s, hh, d)
+        xa = scaling = wb = None
+        if self.rank > 0:
+            lora_a = self.param("lora_a", _kaiming_uniform_a5, (e, self.rank))
+            lora_b = self.param("lora_b", nn.initializers.zeros,
+                                (self.rank, s * hh * d))
+            wb = lora_b.astype(self.dtype).reshape(self.rank, s, hh, d)
+            xd = x
+            if self.lora_dropout > 0.0 and not deterministic:
+                xd = nn.Dropout(rate=self.lora_dropout)(xd, deterministic=False)
+            xa = jnp.dot(xd, lora_a.astype(self.dtype))
+            scaling = self.alpha / self.rank
+        outs = []
+        for i in range(s):
+            t = jnp.einsum("bne,ehd->bhnd", x, w[:, i],
+                           preferred_element_type=jnp.float32).astype(self.dtype)
+            if bias is not None:
+                t = t + bias[i][None, :, None, :]
+            if xa is not None:
+                t = t + scaling * jnp.einsum(
+                    "bnr,rhd->bhnd", xa, wb[:, i],
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+            outs.append(t)
+        return outs[0] if s == 1 else tuple(outs)
+
+
+def make_headmajor_dense(name: str, num_heads: int, head_dim: int, slots: int,
+                         use_bias: bool, lora: Optional[LoRASpec], dtype: Any,
+                         ) -> HeadMajorDense:
+    """Build a (possibly LoRA-augmented) head-major projection named `name`."""
+    rank, alpha, dropout = 0, 1.0, 0.0
+    if lora is not None and lora.applies_to(name):
+        rank, alpha, dropout = lora.rank, lora.alpha, lora.dropout
+    return HeadMajorDense(
+        num_heads=num_heads, head_dim=head_dim, slots=slots, use_bias=use_bias,
+        rank=rank, alpha=alpha, lora_dropout=dropout, dtype=dtype, name=name)
+
+
 @dataclasses.dataclass(frozen=True)
 class ReinsSpec:
     """Configuration of the Rein token adapter (reference reins.py:13-34)."""

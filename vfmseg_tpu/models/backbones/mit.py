@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from vfmseg_tpu.core.registry import MODELS
 from vfmseg_tpu.ops.attention import multi_head_attention
+from vfmseg_tpu.ops.norm import LayerNorm
 
 
 class EfficientAttention(nn.Module):
@@ -52,7 +53,7 @@ class EfficientAttention(nn.Module):
             kv_src = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                              strides=(self.sr_ratio, self.sr_ratio),
                              dtype=self.dtype, name="sr")(x)
-            kv_src = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            kv_src = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                   name="sr_norm")(kv_src)
         kh, kw = kv_src.shape[1:3]
         kv = nn.Dense(self.dim * 2, dtype=self.dtype, name="kv")(kv_src)
@@ -100,12 +101,12 @@ class MiTBlock(nn.Module):
             mask = jax.random.bernoulli(rng, keep, (residual.shape[0], 1, 1, 1))
             return residual * mask.astype(residual.dtype) / keep
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                attn_impl=self.attn_impl, dtype=self.dtype,
                                name="attn")(y, deterministic)
         x = x + maybe_drop(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MixFFN(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype,
                    name="mlp")(y, deterministic)
         return x + maybe_drop(y)
@@ -138,7 +139,7 @@ class MixVisionTransformer(nn.Module):
                 x = nn.Conv(self.embed_dims[stage], (3, 3), strides=(2, 2),
                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
                             name=f"patch_embed{stage + 1}")(x)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            x = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"embed_norm{stage + 1}")(x)
             for i in range(self.depths[stage]):
                 dp = self.drop_path_rate * block_idx / max(total - 1, 1)
@@ -148,7 +149,7 @@ class MixVisionTransformer(nn.Module):
                              dtype=self.dtype,
                              name=f"stage{stage + 1}_block{i}")(
                                  x, deterministic)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            x = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"norm{stage + 1}")(x)
             feats.append(x)
         return tuple(feats)

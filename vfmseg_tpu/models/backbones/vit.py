@@ -31,8 +31,13 @@ from vfmseg_tpu.models.backbones.adapters import (
     Reins,
     ReinsSpec,
     make_dense,
+    make_headmajor_dense,
 )
-from vfmseg_tpu.ops.attention import multi_head_attention
+from vfmseg_tpu.ops.attention import (
+    multi_head_attention_headmajor,
+    multi_head_attention_qkv,
+)
+from vfmseg_tpu.ops.norm import LayerNorm
 from vfmseg_tpu.ops.resize import resize
 
 
@@ -152,7 +157,7 @@ class SwiGLUEva(nn.Module):
         x1 = nn.Dense(self.hidden, dtype=self.dtype, name="w1")(x)
         x2 = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(x)
         h = nn.silu(x1) * x2
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ffn_ln")(h)
+        h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ffn_ln")(h)
         return nn.Dense(self.out, dtype=self.dtype, name="w3")(h)
 
 
@@ -174,52 +179,67 @@ class Attention(nn.Module):
         b, n, c = x.shape
         dim = cfg.embed_dim
         head_dim = dim // cfg.num_heads
+        # Layout strategy (measured on v5e, see ops/flash_attention.py):
+        #   * fused qkv without rel-pos bias (DINOv2/CLIP): ONE natural-
+        #     layout [E, 3HD] matmul, and the flash kernel reads q/k/v as
+        #     lane-offset views of its output — zero HBM layout ops.
+        #   * SAM (rel-pos bias) and EVA02 (split projections + RoPE):
+        #     per-slot head-major einsums feeding the [B, H, N, D] paths.
+        if cfg.attn_type == "fused" and not cfg.use_rel_pos:
+            qkv = make_dense("qkv", 3 * dim, cfg.qkv_bias, self.lora,
+                             cfg.dtype)(x, deterministic=deterministic)
+            out = multi_head_attention_qkv(
+                qkv, cfg.num_heads, scale=cfg.qk_scale, impl=cfg.attn_impl)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            return make_dense("proj", dim, cfg.proj_bias, self.lora,
+                              cfg.dtype)(out, deterministic=deterministic)
         if cfg.attn_type == "fused":
-            qkv = make_dense("qkv", 3 * dim, cfg.qkv_bias, self.lora, cfg.dtype)(
-                x, deterministic=deterministic)
-            qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q, k, v = make_headmajor_dense(
+                "qkv", cfg.num_heads, head_dim, 3, cfg.qkv_bias, self.lora,
+                cfg.dtype)(x, deterministic=deterministic)
         elif cfg.attn_type == "split_subln":
             # EVA02: q and v carry biases, k does not (eva_02.py:271-283)
-            q = make_dense("q_proj", dim, cfg.qkv_bias, self.lora, cfg.dtype)(
-                x, deterministic=deterministic)
-            k = make_dense("k_proj", dim, False, self.lora, cfg.dtype)(
-                x, deterministic=deterministic)
-            v = make_dense("v_proj", dim, cfg.qkv_bias, self.lora, cfg.dtype)(
-                x, deterministic=deterministic)
-            q, k, v = (t.reshape(b, n, cfg.num_heads, head_dim) for t in (q, k, v))
+            q = make_headmajor_dense(
+                "q_proj", cfg.num_heads, head_dim, 1, cfg.qkv_bias, self.lora,
+                cfg.dtype)(x, deterministic=deterministic)
+            k = make_headmajor_dense(
+                "k_proj", cfg.num_heads, head_dim, 1, False, self.lora,
+                cfg.dtype)(x, deterministic=deterministic)
+            v = make_headmajor_dense(
+                "v_proj", cfg.num_heads, head_dim, 1, cfg.qkv_bias, self.lora,
+                cfg.dtype)(x, deterministic=deterministic)
         else:
             raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
 
         if rope_cs is not None:
             # rotate patch tokens only; cls tokens bypass (eva_02.py:362-369)
             p = cfg.num_cls_tokens
-            cos = rope_cs[0].astype(q.dtype)[:, None, :]
-            sin = rope_cs[1].astype(q.dtype)[:, None, :]
+            cos = rope_cs[0].astype(q.dtype)[None, None, :, :]
+            sin = rope_cs[1].astype(q.dtype)[None, None, :, :]
             from vfmseg_tpu.ops.rope import rotate_half
 
             def rot(t):
-                tp = t[:, p:]
+                tp = t[:, :, p:]
                 tp = tp * cos + rotate_half(tp) * sin
-                return jnp.concatenate([t[:, :p], tp], axis=1) if p else tp
+                return jnp.concatenate([t[:, :, :p], tp], axis=2) if p else tp
 
             q, k = rot(q), rot(k)
 
         bias = None
         if cfg.use_rel_pos:
-            from vfmseg_tpu.ops.window import decomposed_rel_pos_bias
+            from vfmseg_tpu.ops.window import decomposed_rel_pos_bias_hm
 
             head_dim_ = cfg.embed_dim // cfg.num_heads
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                    (self.rel_pos_len, head_dim_))
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
                                    (self.rel_pos_len, head_dim_))
-            bias = decomposed_rel_pos_bias(
+            bias = decomposed_rel_pos_bias_hm(
                 q, rel_pos_h.astype(cfg.dtype), rel_pos_w.astype(cfg.dtype), hw)
 
-        out = multi_head_attention(q, k, v, scale=cfg.qk_scale, bias=bias,
-                                   impl=cfg.attn_impl)
-        out = out.reshape(b, n, c)
+        out = multi_head_attention_headmajor(
+            q, k, v, scale=cfg.qk_scale, bias=bias, impl=cfg.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return make_dense("proj", dim, cfg.proj_bias, self.lora, cfg.dtype)(
             out, deterministic=deterministic
         )
@@ -272,7 +292,7 @@ class Block(nn.Module):
             extent = self.window_size or self.rel_pos_pretrain_extent
             rel_pos_len = 2 * extent - 1
 
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm1")(x)
         attn = Attention(cfg=cfg, lora=self.lora, rel_pos_len=rel_pos_len,
                          name="attn")
         if self.window_size:
@@ -294,7 +314,7 @@ class Block(nn.Module):
             h = LayerScale(cfg.embed_dim, cfg.init_values, cfg.dtype, name="ls1")(h)
         x = x + _residual(h)
 
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm2")(x)
+        h = LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm2")(x)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.ffn_layer == "mlp":
             h = Mlp(hidden, cfg.embed_dim, cfg.ffn_bias, cfg.ffn_act,
@@ -379,7 +399,7 @@ class VisionTransformer(nn.Module):
             x = x + pos2d.reshape(1, gh * gw, cfg.embed_dim).astype(x.dtype)
 
         if cfg.pre_norm:
-            x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="ln_pre")(x)
+            x = LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="ln_pre")(x)
 
         rein_mod = None
         if self.reins is not None:
@@ -404,7 +424,7 @@ class VisionTransformer(nn.Module):
         if cfg.remat:
             block_cls = nn.remat(Block, static_argnums=(1, 3))
         out_norm = (
-            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
+            LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="norm")
             if cfg.final_norm else None
         )
         outs = []

@@ -35,6 +35,7 @@ from vfmseg_tpu.core.registry import MODELS
 from vfmseg_tpu.ops.attention import xla_attention
 from vfmseg_tpu.ops.deform_attn import ms_deform_attn_core
 from vfmseg_tpu.ops.resize import resize
+from vfmseg_tpu.ops.norm import LayerNorm
 
 
 @functools.lru_cache(maxsize=64)
@@ -179,8 +180,8 @@ class DeformableEncoderLayer(nn.Module):
             embed_dims=self.embed_dims, num_levels=self.num_levels,
             dtype=self.dtype, name="self_attn",
         )(x + pos, value_list, reference_points)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn_out)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn_out)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             FFN(self.embed_dims, 1024, dtype=self.dtype, name="ffn")(x))
         return x
 
@@ -295,14 +296,14 @@ class Mask2FormerDecoderLayer(nn.Module):
         x = TorchMHA(self.embed_dims, self.num_heads, dtype=self.dtype,
                      name="cross_attn")(
             query + query_pos, key + key_pos, key, attn_mask=cross_attn_mask)
-        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
+        query = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             query + x)
         x = TorchMHA(self.embed_dims, self.num_heads, dtype=self.dtype,
                      name="self_attn")(
             query + query_pos, query + query_pos, query)
-        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
+        query = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             query + x)
-        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
+        query = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
             FFN(self.embed_dims, self.ffn_dim, dtype=self.dtype,
                 name="ffn")(query))
         return query
@@ -368,7 +369,7 @@ class Mask2FormerHead(nn.Module):
                            (self.num_queries, c))[None],
                 (b, self.num_queries, c)).astype(self.dtype)
 
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+        decoder_norm = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     name="decoder_norm")
         cls_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                              name="cls_embed")

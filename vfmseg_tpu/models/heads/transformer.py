@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from vfmseg_tpu.core.registry import MODELS
 from vfmseg_tpu.models.common import gn_groups
 from vfmseg_tpu.ops.attention import multi_head_attention
+from vfmseg_tpu.ops.norm import LayerNorm
 
 
 class CrossAttention(nn.Module):
@@ -92,17 +93,17 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, train: bool = False):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.query_dim, None, self.n_heads, self.d_head, self.dropout,
             self.attn_impl, self.dtype, name="attn1",
         )(h, None, train)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.query_dim, self.context_dim, self.n_heads, self.d_head,
             self.dropout, self.attn_impl, self.dtype, name="attn2",
         )(h, context, train)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.query_dim, 4, self.dropout, self.dtype,
                             name="ff")(h, train)
         return x

@@ -62,6 +62,81 @@ def _default_impl() -> str:
     return "pallas" if backend == "tpu" else "xla"
 
 
+def xla_attention_headmajor(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain attention over head-major [B, H, N, D] tensors (fp32 softmax)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """MHA straight off a fused qkv projection output [B, N, 3*H*D].
+
+    Returns [B, H, N, D]. On TPU the Pallas kernel reads q/k/v as
+    lane-offset views of the SAME tensor — the single fastest path for the
+    ViT hot loop (one natural-layout [E, 3HD] matmul, zero layout ops).
+    """
+    if impl == "auto":
+        impl = _default_impl()
+    if impl in ("pallas", "pallas_bias") and num_heads % 2 == 0:
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv
+
+        return flash_attention_qkv(qkv, num_heads, scale=scale)
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    qkv_r = qkv.reshape(b, n, 3, num_heads, d)
+    out = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2],
+                        scale=scale)
+    return out.transpose(0, 2, 1, 3)
+
+
+def multi_head_attention_headmajor(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """MHA over head-major [B, H, N, D] operands.
+
+    The hot path for producers that emit q/k/v head-major (the ViT's
+    per-slot einsums): on TPU the Pallas no-pad kernel consumes them with
+    zero HBM-side layout work (flash_attention.py flash_attention_headmajor).
+    """
+    if impl == "auto":
+        impl = _default_impl()
+    if impl in ("pallas", "pallas_bias") and bias is None:
+        from vfmseg_tpu.ops.flash_attention import flash_attention_headmajor
+
+        return flash_attention_headmajor(q, k, v, scale=scale)
+    return xla_attention_headmajor(q, k, v, scale=scale, bias=bias)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,

@@ -77,6 +77,14 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
         m, l, acc = carry
         k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        if masked:
+            # tail rows past kv_len hold garbage (Mosaic-padded blocks in the
+            # no-HBM-pad path can be NaN/inf): zero them so they cannot
+            # poison the matmuls (0 * NaN = NaN would survive the s-mask)
+            kv_row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, k.shape, 0)
+            k = jnp.where(kv_row < kv_len, k, 0)
+            v = jnp.where(kv_row < kv_len, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk] fp32
@@ -216,6 +224,13 @@ def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
     def step(j, dq, masked):
         k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        if masked:
+            # zero garbage tail rows (see _fwd_kernel): dp columns past
+            # kv_len would otherwise be NaN and 0 * NaN survives into ds
+            kv_row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, k.shape, 0)
+            k = jnp.where(kv_row < kv_len, k, 0)
+            v = jnp.where(kv_row < kv_len, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -258,7 +273,10 @@ def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
     block_k, d = k.shape
     q_pad = q_ref.shape[2]
     num_q = q_pad // block_q
-    del q_len  # padded query rows carry lse=+inf, so exp(s - lse) == 0
+    # query tail rows beyond q_len carry garbage (Mosaic block padding in the
+    # no-HBM-pad path) or lse=+inf (padded-array path): mask their
+    # probabilities to zero either way (where() also scrubs NaNs).
+    has_q_tail = q_len < q_pad
 
     def body(i, carry):
         dk, dv = carry
@@ -266,6 +284,14 @@ def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        if has_q_tail:
+            # garbage tail rows can hold NaN/inf: multiplying by zero is not
+            # enough (0*NaN = NaN), so zero q/do tail rows before they enter
+            # a matmul accumulation (dk sums ds^T q, dv sums p^T do)
+            qd_row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, q.shape, 0)
+            q = jnp.where(qd_row < q_len, q, 0)
+            do = jnp.where(qd_row < q_len, do, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                      # [bq, bk] fp32
@@ -273,12 +299,19 @@ def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
             s = s + bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(
                 jnp.float32)
         p = jnp.exp(s - lse)
+        if has_q_tail:
+            # lse/delta tail entries are still garbage: scrub p and ds
+            row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = jnp.where(row < q_len, p, 0.0)
         dv_new = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        ds_raw = p * (dp - delta)
+        if has_q_tail:
+            ds_raw = jnp.where(row < q_len, ds_raw, 0.0)
+        ds = (ds_raw * scale).astype(q.dtype)
         dk_new = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk_new, dv_new
@@ -407,6 +440,315 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int,
     if has_bias:
         return dq, dk, dv, dbias
     return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# head-major ([B, H, N, D]) no-HBM-pad path
+#
+# The [B, N, H, D] entry point below pays three HBM passes per operand
+# (slice out of the fused qkv, transpose to head-major, pad to the block
+# grid) — measured at ~32% of ViT-L stage-1 device time. This path takes
+# operands already in head-major layout (the ViT produces them there via
+# per-slot einsums) and skips the explicit padding entirely: the grid
+# ceil-divides the query length and the kv block is rounded up, letting
+# Mosaic pad the edge blocks in VMEM. Tail garbage is masked in-kernel
+# (kv via kv_len in the forward/dq kernels, q via q_len in the dkv kernel).
+# --------------------------------------------------------------------------
+
+def _flash_forward_hm(q, k, v, scale: float):
+    """[B, H, N, D] unpadded -> (out [B, H, N, D], lse [B, H, N, 1])."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    block_q, block_k = _blocks(nq, nk)
+    kvp = _round_up(nk, block_k)
+
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=nk,
+                               block_k=block_k, has_bias=False)
+    grid = (b, h, pl.cdiv(nq, block_q))
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, v)
+    return out, lse
+
+
+def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
+    """Unpadded [B, H, N, D] residuals + grad -> (dq, dk, dv)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    block_q, block_k = _blocks(nq, nk)
+    kvp = _round_up(nk, block_k)
+    qp = _round_up(nq, block_q)
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
+                          block_k=block_k, has_bias=False),
+        grid=(b, h, pl.cdiv(nq, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # delta
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, i: (bi, hi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
+                          block_q=block_q, has_bias=False),
+        grid=(b, h, pl.cdiv(nk, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, 1, qp, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # q (full, block-padded)
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, 1, qp, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, qp, 1), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, 1, qp, 1), lambda bi, hi, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),   # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# fused-qkv direct path: [B, N, 3*H*D] -> [B, H, N, D]
+#
+# The qkv projection is fastest as ONE [E, 3HD] matmul in the natural
+# [B, N, 3HD] output layout (per-slot head-major einsums force XLA into
+# transposed dots + layout copies, measured ~0.5 ms/block slower on v5e).
+# This kernel consumes that tensor with zero HBM-side layout work: the SAME
+# array is passed three times with lane-offset index maps (q at lane-block
+# h2, k at H/2 + h2, v at H + h2). Mosaic requires lane blocks of 128, so a
+# grid cell covers a PAIR of heads and splits the two 64-lane halves
+# in-register.
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                    kv_len: int, block_k: int, head_dim: int):
+    qp = q_ref[0, :, :]                    # [bq, 2*head_dim]
+    block_q = qp.shape[0]
+    kv_pad = k_ref.shape[1]
+    num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
+    for hh in range(2):
+        q = qp[:, hh * head_dim:(hh + 1) * head_dim]
+
+        def step(j, carry, masked):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(j * block_k, block_k),
+                      hh * head_dim:(hh + 1) * head_dim]
+            v = v_ref[0, pl.ds(j * block_k, block_k),
+                      hh * head_dim:(hh + 1) * head_dim]
+            if masked:
+                kv_row = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, k.shape, 0)
+                k = jnp.where(kv_row < kv_len, k, 0)
+                v = jnp.where(kv_row < kv_len, v, 0)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if masked:
+                col = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                s = jnp.where(col < kv_len, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        carry = (jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
+                 jnp.zeros((block_q, 1), dtype=jnp.float32),
+                 jnp.zeros((block_q, head_dim), dtype=jnp.float32))
+        for j in range(num_kv - 1 if has_tail else num_kv):
+            carry = step(j, carry, masked=False)
+        if has_tail:
+            carry = step(num_kv - 1, carry, masked=True)
+        m, l, acc = carry
+        safe_l = jnp.maximum(l, 1e-37)
+        o_ref[0, 0, hh, :, :] = (acc / safe_l).astype(o_ref.dtype)
+        lse_ref[0, 0, hh, :, :] = m + jnp.log(safe_l)
+
+
+def _flash_forward_qkv(qkv, num_heads: int, scale: float):
+    """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1])."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    h2 = num_heads // 2
+    block_q, block_k = _blocks(n, n)
+    kvp = _round_up(n, block_k)
+    grid = (b, h2, pl.cdiv(n, block_q))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv, scale=scale, kv_len=n,
+                          block_k=block_k, head_dim=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * d), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, 2 * d),
+                         lambda bi, hi, qi: (bi, 0, h2 + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, 2 * d),
+                         lambda bi, hi, qi: (bi, 0, 2 * h2 + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 2, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, block_q, 1),
+                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h2, 2, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h2, 2, n, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(qkv, qkv, qkv)
+    return (out.reshape(b, num_heads, n, d),
+            lse.reshape(b, num_heads, n, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_qkv(qkv, num_heads: int, scale: float):
+    out, _ = _flash_forward_qkv(qkv, num_heads, scale)
+    return out
+
+
+def _flash_qkv_fwd_rule(qkv, num_heads: int, scale: float):
+    out, lse = _flash_forward_qkv(qkv, num_heads, scale)
+    return out, (qkv, lse, out)
+
+
+def _flash_qkv_bwd_rule(num_heads: int, scale: float, res, g):
+    # training path: transpose views + the head-major backward kernels, then
+    # reassemble d(qkv). The extra layout passes only cost the bwd.
+    qkv, lse, out = res
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    qkv_r = qkv.reshape(b, n, 3, num_heads, d)
+    q = qkv_r[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv_r[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv_r[:, :, 2].transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_backward_hm(q, k, v, lse, out, g, scale)
+    dqkv = jnp.stack([dq, dk, dv], axis=1)            # [B, 3, H, N, D]
+    dqkv = dqkv.transpose(0, 3, 1, 2, 4).reshape(b, n, f)
+    return (dqkv,)
+
+
+_flash_qkv.defvjp(_flash_qkv_fwd_rule, _flash_qkv_bwd_rule)
+
+
+def flash_attention_qkv(qkv: jax.Array, num_heads: int, *,
+                        scale: Optional[float] = None) -> jax.Array:
+    """Flash attention straight off the fused qkv projection output.
+
+    qkv: [B, N, 3*H*D] (q | k | v concatenated on the feature axis, each
+    head-contiguous — exactly the fused qkv Dense layout). Returns
+    [B, H, N, D]. Requires an even head count (cells process head pairs).
+    """
+    if qkv.ndim != 3:
+        raise NotImplementedError("expects [B, N, 3*H*D]")
+    if num_heads % 2:
+        raise NotImplementedError("pair-of-heads cells need even num_heads")
+    d = qkv.shape[-1] // (3 * num_heads)
+    if scale is None:
+        scale = d ** -0.5
+    return _flash_qkv(qkv, num_heads, float(scale))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_hm(q, k, v, scale: float):
+    out, _ = _flash_forward_hm(q, k, v, scale)
+    return out
+
+
+def _flash_hm_fwd_rule(q, k, v, scale: float):
+    out, lse = _flash_forward_hm(q, k, v, scale)
+    return out, (q, k, v, lse, out)
+
+
+def _flash_hm_bwd_rule(scale: float, res, g):
+    q, k, v, lse, out = res
+    return _flash_backward_hm(q, k, v, lse, out, g, scale)
+
+
+_flash_hm.defvjp(_flash_hm_fwd_rule, _flash_hm_bwd_rule)
+
+
+def flash_attention_headmajor(
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Flash attention over head-major [B, H, N, D] tensors (no bias).
+
+    Unlike :func:`flash_attention` this performs ZERO HBM-side layout work:
+    no transpose, no padding. Producers that already emit head-major
+    operands (the ViT's per-slot qkv einsums) should call this.
+    """
+    if q.ndim != 4:
+        raise NotImplementedError("expects [B, H, N, D]")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_hm(q, k, v, float(scale))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -75,3 +75,18 @@ def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h: jax.Array,
     rel_w = jnp.einsum("bhwnc,wkc->bnhwk", rq, rw)
     bias = rel_h[..., :, None] + rel_w[..., None, :]
     return bias.reshape(b, heads, n, n)
+
+
+def decomposed_rel_pos_bias_hm(q: jax.Array, rel_pos_h: jax.Array,
+                               rel_pos_w: jax.Array,
+                               hw: Tuple[int, int]) -> jax.Array:
+    """Same bias from a head-major q [B, heads, N, hd] (N = h*w)."""
+    h, w = hw
+    b, heads, n, hd = q.shape
+    rh = get_rel_pos(h, h, rel_pos_h).astype(q.dtype)  # [h, h, hd]
+    rw = get_rel_pos(w, w, rel_pos_w).astype(q.dtype)  # [w, w, hd]
+    rq = q.reshape(b, heads, h, w, hd)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]
+    return bias.reshape(b, heads, n, n)
