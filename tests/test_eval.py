@@ -149,3 +149,34 @@ class TestTTA:
         got = tta_logits(lambda x: x @ w, img, flip=True, scales=(0.5, 1.0))
         assert got.shape == (2, 16, 16, 5)
         np.testing.assert_allclose(np.asarray(got.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_accumulate_crops_gather_matches_scatter():
+    """The band-decomposed gather formulation must reproduce the scatter
+    version bit-for-bit (same fp32 add order) on a clamped, overlapping
+    grid, including a non-grid fallback case."""
+    import numpy as np
+
+    from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid
+
+    rng = np.random.RandomState(0)
+    out_hw, crop, stride = (96, 160), (64, 64), (40, 40)
+    boxes = compute_slide_grid(out_hw, crop, stride)
+    b = 2
+    crops = jnp.asarray(rng.randn(len(boxes) * b, 64, 64, 5).astype(np.float32))
+    got = accumulate_crops(crops, boxes, out_hw)
+
+    preds = np.zeros((b, *out_hw, 5), np.float32)
+    count = np.zeros((b, *out_hw, 1), np.float32)
+    for i, (y1, x1) in enumerate(boxes):
+        preds[:, y1:y1 + 64, x1:x1 + 64] += np.asarray(crops[i * b:(i + 1) * b])
+        count[:, y1:y1 + 64, x1:x1 + 64] += 1
+    np.testing.assert_allclose(np.asarray(got), preds / count,
+                               rtol=1e-6, atol=1e-6)
+
+    # non-grid ordering exercises the scatter fallback
+    got2 = accumulate_crops(
+        jnp.concatenate([crops[b:], crops[:b]], axis=0),
+        boxes[1:] + boxes[:1], out_hw)
+    np.testing.assert_allclose(np.asarray(got2), preds / count,
+                               rtol=1e-6, atol=1e-6)
