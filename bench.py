@@ -316,7 +316,36 @@ def main():
         # expensive ViT-L stage-1 compile happens exactly once)
         img_cal = jnp.stack(images[:args.group])
         ctx, _c = compact._stage1(variables, img_cal, (h, w))
-        s, achieved = calibrate_logit_scale(ctx, threshold, conf)
+
+        # the analytic rate (softmax of ctx*s in fp32) disagrees with the
+        # SCALED model, whose bf16-rounded conv_seg weights flip
+        # near-threshold windows — off by a whole refine bucket in practice.
+        # So: analytic calibration only seeds a bracket, then bisect the
+        # logit scale directly on the scaled model's MEASURED skip rate.
+        def measured_rate(s):
+            v2 = scale_decode_head(variables, s)
+            _c2, conf2 = compact._stage1(v2, img_cal, (h, w))
+            return float(jnp.mean((conf2 >= conf).astype(jnp.float32)))
+
+        s, _ = calibrate_logit_scale(ctx, threshold, conf)
+        lo, hi = s / 8.0, s * 8.0
+        while measured_rate(hi) < TARGET_SKIP_RATE and hi < 1e12:
+            lo, hi = hi, hi * 8.0
+        while measured_rate(lo) > TARGET_SKIP_RATE and lo > 1e-6:
+            lo, hi = lo / 8.0, lo
+        best_s, best_r = s, measured_rate(s)
+        for _ in range(12):
+            mid = (lo * hi) ** 0.5
+            r = measured_rate(mid)
+            if abs(r - TARGET_SKIP_RATE) < abs(best_r - TARGET_SKIP_RATE):
+                best_s, best_r = mid, r
+            if abs(r - TARGET_SKIP_RATE) <= 0.02:
+                break
+            if r < TARGET_SKIP_RATE:
+                lo = mid
+            else:
+                hi = mid
+        s, achieved = best_s, best_r
         variables = scale_decode_head(variables, s)
         extras["gate_skip_rate"] = round(achieved, 3)
         extras["logit_scale"] = s
@@ -333,11 +362,15 @@ def main():
         run_stream()                      # compile (stage1, buckets, finish)
         compile_and_first = time.time() - t0
         rtt = measure_rtt()
+        compact.reset_stats()
         t0 = time.time()
         run_stream()
         elapsed = max(time.time() - t0, 1e-9)
         ips = args.images / elapsed
-        skip_rate = extras["gate_skip_rate"]
+        # the FLOPs estimate uses the rate the timed stream ACTUALLY ran at
+        # (counted in CompactMsSlide._finish), not the calibration estimate
+        skip_rate = 1.0 - compact.stat_refined / max(compact.stat_windows, 1)
+        extras["measured_skip_rate"] = round(skip_rate, 3)
 
     flops = vit_l_flops_per_image((h, w), lr_size, crop, stride, skip_rate)
     tflops = ips * flops / 1e12

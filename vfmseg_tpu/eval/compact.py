@@ -60,6 +60,14 @@ class CompactMsSlide:
         self.align_corners = align_corners
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(2,))
         self._refine: Dict[int, Callable] = {}
+        self.reset_stats()
+
+    def reset_stats(self):
+        """Zero the measured gate counters (windows seen / windows refined).
+        `1 - stat_refined / stat_windows` is the real skip rate of everything
+        run through this predictor since the last reset."""
+        self.stat_windows = 0
+        self.stat_refined = 0
 
     def _stage1_impl(self, variables, img, img_hw):
         full = self.lr_fn(
@@ -115,6 +123,8 @@ class CompactMsSlide:
     def _finish(self, variables, img, ctx, conf_host):
         h, w = img.shape[1], img.shape[2]
         need = np.nonzero(conf_host < self.conf)[0]
+        self.stat_windows += conf_host.size
+        self.stat_refined += len(need)
         k = _bucket(len(need), self.buckets) if len(need) else 0
         # one combined [2k] int32 host->device transfer (idx then validity) —
         # small H2D transfers cost ~30 ms each on high-latency links
