@@ -86,6 +86,24 @@ def test_bucket_overflow_still_refines_everything():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_gate_stat_counters():
+    """The measured-rate counters must tally every window seen/refined
+    (bench.py derives its FLOPs/MFU report from them)."""
+    lr_fn, hr_fn = _fns()
+    img = jax.random.normal(K(1), (2, 64, 64, 3))
+    compact = CompactMsSlide(
+        lr_fn, hr_fn, crop=(32, 32), stride=(16, 16), lr_size=(32, 32),
+        threshold=0.968, conf=0.8)
+    _out, n_refined = compact(None, img)
+    assert compact.stat_windows == 2 * 9  # 3x3 grid per image
+    assert compact.stat_refined == n_refined > 0
+    compact.reset_stats()
+    assert compact.stat_windows == 0 and compact.stat_refined == 0
+    list(compact.stream(None, [img[0], img[1]], group=2))
+    assert compact.stat_windows == 2 * 9
+    assert compact.stat_refined == n_refined
+
+
 def test_compact_all_confident_refines_nothing():
     def lr_fn(variables, x):
         return jnp.zeros(x.shape[:3] + (4,)).at[..., 1].set(100.0)

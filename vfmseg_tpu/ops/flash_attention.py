@@ -50,11 +50,18 @@ def _pick_block(n: int, max_block: int, allow_single: bool = True) -> int:
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
-                has_bias: bool = False):
+                has_bias: bool = False, with_lse: bool = True):
+    lse_ref = None
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
+        if with_lse:
+            q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
+        else:
+            q_ref, k_ref, v_ref, bias_ref, o_ref = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        if with_lse:
+            q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
         bias_ref = None
     # refs are [1, 1, n, d] blocks of [B, H, N, D] operands: the last two
     # dims (seq, head_dim) satisfy Mosaic's (8, 128)-or-full tiling rule.
@@ -114,7 +121,8 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
     m, l, acc = carry
     safe_l = jnp.maximum(l, 1e-37)
     o_ref[0, 0, :, :] = (acc / safe_l).astype(o_ref.dtype)
-    lse_ref[0, 0, :, :] = m + jnp.log(safe_l)  # [bq, 1]
+    if lse_ref is not None:
+        lse_ref[0, 0, :, :] = m + jnp.log(safe_l)  # [bq, 1]
 
 
 def _blocks(nq: int, nk: int, has_bias: bool = False):
@@ -138,9 +146,9 @@ def _blocks(nq: int, nk: int, has_bias: bool = False):
     return block_q, block_k
 
 
-def _flash_forward(q, k, v, scale: float, bias=None):
+def _flash_forward(q, k, v, scale: float, bias=None, with_lse: bool = True):
     """[B, N, H, D] inputs (+optional [B, H, Nq, Nk] bias) -> (out
-    [B, N, H, D], lse [B, H, Nq_pad, 1], padded residuals)."""
+    [B, N, H, D], lse [B, H, Nq_pad, 1] | None, padded residuals)."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
     # minimal-padding tiling: the kernel is VPU-bound on the [bq, bk] softmax
@@ -160,7 +168,8 @@ def _flash_forward(q, k, v, scale: float, bias=None):
                                (0, nk_pad - nk)))
 
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=nk,
-                               block_k=block_k, has_bias=bias is not None)
+                               block_k=block_k, has_bias=bias is not None,
+                               with_lse=with_lse)
     grid = (b, h, nq_pad // block_q)
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -177,26 +186,32 @@ def _flash_forward(q, k, v, scale: float, bias=None):
                          lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM))
         operands.append(biasp)
-    out, lse = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bi, hi, qi: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct(qp.shape, q.dtype)
+    if with_lse:
+        out_specs = (o_spec,
+                     pl.BlockSpec((1, 1, block_q, 1),
+                                  lambda bi, hi, qi: (bi, hi, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (o_shape,
+                     jax.ShapeDtypeStruct((b, h, nq_pad, 1), jnp.float32))
+    else:
+        out_specs, out_shape = o_spec, o_shape
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, nq_pad, 1), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq_pad * nk_pad * d,
             bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
     )(*operands)
+    out, lse = res if with_lse else (res, None)
     return out[:, :, :nq].transpose(0, 2, 1, 3), lse, (qp, kp, vp, biasp)
 
 
@@ -455,17 +470,31 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int,
 # (kv via kv_len in the forward/dq kernels, q via q_len in the dkv kernel).
 # --------------------------------------------------------------------------
 
-def _flash_forward_hm(q, k, v, scale: float):
-    """[B, H, N, D] unpadded -> (out [B, H, N, D], lse [B, H, N, 1])."""
+def _flash_forward_hm(q, k, v, scale: float, with_lse: bool = True):
+    """[B, H, N, D] unpadded -> (out [B, H, N, D], lse [B, H, N, 1]|None)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     block_q, block_k = _blocks(nq, nk)
     kvp = _round_up(nk, block_k)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=nk,
-                               block_k=block_k, has_bias=False)
+                               block_k=block_k, has_bias=False,
+                               with_lse=with_lse)
     grid = (b, h, pl.cdiv(nq, block_q))
-    out, lse = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bi, hi, qi: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_lse:
+        out_specs = (o_spec,
+                     pl.BlockSpec((1, 1, block_q, 1),
+                                  lambda bi, hi, qi: (bi, hi, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (o_shape,
+                     jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
+    else:
+        out_specs, out_shape = o_spec, o_shape
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -476,23 +505,15 @@ def _flash_forward_hm(q, k, v, scale: float):
             pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq * nk * d,
             bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
     )(q, k, v)
-    return out, lse
+    return res if with_lse else (res, None)
 
 
 def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
@@ -573,15 +594,30 @@ def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
 # in-register.
 # --------------------------------------------------------------------------
 
-def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                    kv_len: int, block_k: int, head_dim: int):
+_LOG2E = 1.4426950408889634
+
+
+def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
+                    head_dim: int, with_lse: bool = True):
+    # two score-tile VPU savings over _fwd_kernel: scale (and log2 e) are
+    # folded into q before the score matmul (d muls/row instead of bk), and
+    # the softmax runs in exp2 space. When with_lse is False (the inference
+    # primal — nobody reads the lse) the [bq, 1] lse store is skipped
+    # entirely: sub-lane-width stores are the slowest part of this kernel
+    # (~0.8 ms of a 3.3 ms call at refine shapes, measured on v5e).
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        lse_ref = None
     qp = q_ref[0, :, :]                    # [bq, 2*head_dim]
     block_q = qp.shape[0]
     kv_pad = k_ref.shape[1]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
     for hh in range(2):
-        q = qp[:, hh * head_dim:(hh + 1) * head_dim]
+        q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
+             * (scale * _LOG2E)).astype(qp.dtype)
 
         def step(j, carry, masked):
             m, l, acc = carry
@@ -596,14 +632,14 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 v = jnp.where(kv_row < kv_len, v, 0)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32)  # log2-space scores
             if masked:
                 col = j * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1)
                 s = jnp.where(col < kv_len, s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * corr + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -620,20 +656,37 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         m, l, acc = carry
         safe_l = jnp.maximum(l, 1e-37)
         o_ref[0, 0, hh, :, :] = (acc / safe_l).astype(o_ref.dtype)
-        lse_ref[0, 0, hh, :, :] = m + jnp.log(safe_l)
+        if lse_ref is not None:
+            # natural-log lse (what the backward kernels recompute p from)
+            lse_ref[0, 0, hh, :, :] = (m + jnp.log2(safe_l)) * (1.0 / _LOG2E)
 
 
-def _flash_forward_qkv(qkv, num_heads: int, scale: float):
-    """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1])."""
+def _flash_forward_qkv(qkv, num_heads: int, scale: float,
+                       with_lse: bool = True):
+    """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1] or None)."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
     block_q, block_k = _blocks(n, n)
     kvp = _round_up(n, block_k)
     grid = (b, h2, pl.cdiv(n, block_q))
-    out, lse = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, 1, 2, block_q, d),
+                          lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((b, h2, 2, n, d), qkv.dtype)
+    if with_lse:
+        out_specs = (o_spec,
+                     pl.BlockSpec((1, 1, 2, block_q, 1),
+                                  lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (o_shape,
+                     jax.ShapeDtypeStruct((b, h2, 2, n, 1), jnp.float32))
+    else:
+        out_specs = o_spec
+        out_shape = o_shape
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel_qkv, scale=scale, kv_len=n,
-                          block_k=block_k, head_dim=d),
+                          block_k=block_k, head_dim=d, with_lse=with_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 2 * d), lambda bi, hi, qi: (bi, qi, hi),
@@ -645,31 +698,23 @@ def _flash_forward_qkv(qkv, num_heads: int, scale: float):
                          lambda bi, hi, qi: (bi, 0, 2 * h2 + hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, 2, block_q, d),
-                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, block_q, 1),
-                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h2, 2, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, h2, 2, n, 1), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * n * n * d,
             bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
     )(qkv, qkv, qkv)
+    out, lse = res if with_lse else (res, None)
     return (out.reshape(b, num_heads, n, d),
-            lse.reshape(b, num_heads, n, 1))
+            lse.reshape(b, num_heads, n, 1) if with_lse else None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _flash_qkv(qkv, num_heads: int, scale: float):
-    out, _ = _flash_forward_qkv(qkv, num_heads, scale)
+    # primal (never differentiated at this call site): skip the lse store
+    out, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False)
     return out
 
 
@@ -717,7 +762,8 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, *,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_hm(q, k, v, scale: float):
-    out, _ = _flash_forward_hm(q, k, v, scale)
+    # primal (never differentiated at this call site): skip the lse store
+    out, _ = _flash_forward_hm(q, k, v, scale, with_lse=False)
     return out
 
 
@@ -753,7 +799,7 @@ def flash_attention_headmajor(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale: float):
-    out, _, _ = _flash_forward(q, k, v, scale)
+    out, _, _ = _flash_forward(q, k, v, scale, with_lse=False)
     return out
 
 
@@ -775,7 +821,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_bias(q, k, v, bias, scale: float):
-    out, _, _ = _flash_forward(q, k, v, scale, bias)
+    out, _, _ = _flash_forward(q, k, v, scale, bias, with_lse=False)
     return out
 
 
