@@ -86,9 +86,10 @@ class MSDeformAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query: jax.Array, value_list: Sequence[jax.Array],
-                 reference_points: jax.Array) -> jax.Array:
+                 ref_x: jax.Array, ref_y: jax.Array) -> jax.Array:
         """query: [B, Nq, C]; value_list: per level [B, H, W, C];
-        reference_points: [B, Nq, L, 2] normalized (x, y)."""
+        ref_x / ref_y: [Nq] normalized reference coords (shared across
+        levels — mmdet all-valid ratios)."""
         b, nq, c = query.shape
         h_, l_, p_ = self.num_heads, self.num_levels, self.num_points
         d = c // h_
@@ -99,24 +100,30 @@ class MSDeformAttention(nn.Module):
             for v in value_list
         ]
 
+        # one clean [b, nq, F] -> [b, F, nq] transpose, then every
+        # coordinate/weight tensor keeps nq as the minor dim (see
+        # ms_deform_attn_core docstring for the layout rationale)
         offsets = nn.Dense(
             h_ * l_ * p_ * 2, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=functools.partial(_deform_offset_init),
             name="sampling_offsets",
-        )(query).reshape(b, nq, h_, l_, p_, 2)
+        )(query).transpose(0, 2, 1).reshape(b, h_, l_, p_, 2, nq)
         attn = nn.Dense(
             h_ * l_ * p_, dtype=self.dtype, kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros, name="attention_weights",
-        )(query).reshape(b, nq, h_, l_ * p_)
-        attn = jax.nn.softmax(attn, axis=-1).reshape(b, nq, h_, l_, p_)
+        )(query).transpose(0, 2, 1).reshape(b, h_, l_ * p_, nq)
+        attn = jax.nn.softmax(attn, axis=2).reshape(b, h_, l_, p_, nq)
 
-        shapes = jnp.asarray(
-            [[v.shape[2], v.shape[1]] for v in value_list], jnp.float32
-        )  # [(W, H)] per level
-        loc = (reference_points[:, :, None, :, None, :]
-               + offsets.astype(jnp.float32) / shapes[None, None, None, :, None, :])
-        out = ms_deform_attn_core(proj_values, loc, attn)
+        inv_wh = np.asarray(
+            [[1.0 / v.shape[2], 1.0 / v.shape[1]] for v in value_list],
+            np.float32)  # [(1/W, 1/H)] per level
+        off = offsets.astype(jnp.float32)
+        loc_x = (ref_x[None, None, None, None, :]
+                 + off[:, :, :, :, 0, :] * inv_wh[None, None, :, 0, None, None])
+        loc_y = (ref_y[None, None, None, None, :]
+                 + off[:, :, :, :, 1, :] * inv_wh[None, None, :, 1, None, None])
+        out = ms_deform_attn_core(proj_values, loc_x, loc_y, attn)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -173,13 +180,13 @@ class DeformableEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos, value_list_shapes, reference_points):
+    def __call__(self, x, pos, value_list_shapes, ref_x, ref_y):
         # value is the current token stream itself, split into level maps
         value_list = _split_levels(x, value_list_shapes)
         attn_out = MSDeformAttention(
             embed_dims=self.embed_dims, num_levels=self.num_levels,
             dtype=self.dtype, name="self_attn",
-        )(x + pos, value_list, reference_points)
+        )(x + pos, value_list, ref_x, ref_y)
         x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn_out)
         x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             FFN(self.embed_dims, 1024, dtype=self.dtype, name="ffn")(x))
@@ -234,22 +241,22 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ).astype(self.dtype)
 
         # reference points: each token's normalized center, same for every
-        # level (all-valid ratios)
+        # level (all-valid ratios); kept as separate x/y vectors (layout)
         ref_list = []
         for (h, w) in shapes:
             ys = (np.arange(h, dtype=np.float32) + 0.5) / h
             xs = (np.arange(w, dtype=np.float32) + 0.5) / w
             grid = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(h * w, 2)
             ref_list.append(grid)
-        ref = jnp.asarray(np.concatenate(ref_list, axis=0))  # [N, 2]
-        ref = jnp.broadcast_to(ref[None, :, None, :],
-                               (b, ref.shape[0], self.num_encoder_levels, 2))
+        ref = np.concatenate(ref_list, axis=0)               # [N, 2]
+        ref_x = jnp.asarray(ref[:, 0])
+        ref_y = jnp.asarray(ref[:, 1])
 
         for i in range(self.num_encoder_layers):
             x = DeformableEncoderLayer(
                 embed_dims=c, num_levels=self.num_encoder_levels,
                 dtype=self.dtype, name=f"encoder_layer{i}",
-            )(x, pos, shapes, ref)
+            )(x, pos, shapes, ref_x, ref_y)
 
         memories = _split_levels(x, shapes)  # [stride32, stride16, stride8]
 

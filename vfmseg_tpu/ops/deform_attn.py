@@ -33,9 +33,15 @@ def bilinear_sample_nhwc(value: jax.Array, loc: jax.Array) -> jax.Array:
     (grid_sample align_corners=False convention: pixel centers at
     (i + 0.5) / size). Returns [B, N, C].
     """
+    return _sample_nhwc_xy(value, loc[..., 0], loc[..., 1])
+
+
+def _sample_nhwc_xy(value: jax.Array, xn: jax.Array, yn: jax.Array) -> jax.Array:
+    """bilinear_sample_nhwc with the coordinates as separate [B, N] arrays
+    (N-minor layouts avoid the pathological trailing-2 tiling on TPU)."""
     b, h, w, c = value.shape
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
+    x = xn * w - 0.5
+    y = yn * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -78,9 +84,14 @@ def bilinear_sample_matmul(value: jax.Array, loc: jax.Array) -> jax.Array:
     sampled[b, n, c] = sum_{h, w} Ry[b, n, h] * Cx[b, n, w] * V[b, h, w, c].
     One [N, H] x [H, W*C] matmul per batch row rides the MXU; out-of-range
     taps carry zero weight (grid_sample zero padding)."""
+    return _sample_matmul_xy(value, loc[..., 0], loc[..., 1])
+
+
+def _sample_matmul_xy(value: jax.Array, xn: jax.Array, yn: jax.Array) -> jax.Array:
+    """bilinear_sample_matmul with coordinates as separate [B, N] arrays."""
     b, h, w, c = value.shape
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
+    x = xn * w - 0.5
+    y = yn * h - 0.5
     ry = _axis_onehot(y, h).astype(value.dtype)     # [B, N, H]
     cx = _axis_onehot(x, w).astype(value.dtype)     # [B, N, W]
     # fp32 inputs must sample at fp32 accuracy (TPU default matmul precision
@@ -93,29 +104,35 @@ def bilinear_sample_matmul(value: jax.Array, loc: jax.Array) -> jax.Array:
                       preferred_element_type=value.dtype)
 
 
-def _sample_impl():
-    return (bilinear_sample_matmul if jax.default_backend() == "tpu"
-            else bilinear_sample_nhwc)
+def _sample_impl_xy():
+    return (_sample_matmul_xy if jax.default_backend() == "tpu"
+            else _sample_nhwc_xy)
 
 
 def ms_deform_attn_core(
     value_list: Sequence[jax.Array],       # per level [B, H_l, W_l, heads, d]
-    sampling_locations: jax.Array,         # [B, Nq, heads, L, P, 2] in [0,1]
-    attention_weights: jax.Array,          # [B, Nq, heads, L, P] (softmaxed)
+    loc_x: jax.Array,                      # [B, heads, L, P, Nq] in [0,1]
+    loc_y: jax.Array,                      # [B, heads, L, P, Nq] in [0,1]
+    attention_weights: jax.Array,          # [B, heads, L, P, Nq] (softmaxed
+                                           #  over the (L, P) axes jointly)
 ) -> jax.Array:
-    """Returns [B, Nq, heads*d]."""
-    b, nq, heads, num_levels, num_points, _ = sampling_locations.shape
-    outputs = []
+    """Returns [B, Nq, heads*d].
+
+    Coordinates arrive as separate x/y arrays with Nq as the MINOR
+    dimension: a trailing (..., P, 2) layout tiles catastrophically on TPU
+    ((8, 128) vregs padded 64x — measured ~60 ms/layer of pure layout
+    shuffling in the Mask2Former pixel decoder before this layout)."""
+    b, heads, num_levels, num_points, nq = loc_x.shape
+    out = None
     for lvl, value in enumerate(value_list):
         _, h, w, _, d = value.shape
         # fold heads into batch so each head samples its own plane
         v = value.transpose(0, 3, 1, 2, 4).reshape(b * heads, h, w, d)
-        loc = sampling_locations[:, :, :, lvl]          # [B, Nq, heads, P, 2]
-        loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq * num_points, 2)
-        sampled = _sample_impl()(v, loc)                # [B*heads, Nq*P, d]
-        sampled = sampled.reshape(b, heads, nq, num_points, d)
-        wts = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,h,Nq,P]
-        outputs.append(jnp.einsum("bhnpd,bhnp->bhnd", sampled,
-                                  wts.astype(sampled.dtype)))
-    out = sum(outputs)                                   # [B, heads, Nq, d]
-    return out.transpose(0, 2, 1, 3).reshape(b, nq, heads * d)
+        x = loc_x[:, :, lvl].reshape(b * heads, num_points * nq)
+        y = loc_y[:, :, lvl].reshape(b * heads, num_points * nq)
+        sampled = _sample_impl_xy()(v, x, y)            # [B*heads, P*Nq, d]
+        sampled = sampled.reshape(b, heads, num_points, nq, d)
+        wts = attention_weights[:, :, lvl]              # [B, heads, P, Nq]
+        o = jnp.einsum("bhpnd,bhpn->bnhd", sampled, wts.astype(sampled.dtype))
+        out = o if out is None else out + o
+    return out.reshape(b, nq, heads * d)
