@@ -31,6 +31,9 @@ DEFAULT_CONFIGS = (
     "dg_rein_dinov2_segformer",
     "dg_lora_dinov2_hrda",
     "dg_rein_dinov2_mask2former",
+    "dg_lora_eva02_ms_masked",       # the other three VFM encoder families
+    "dg_lora_clip_ms_masked",
+    "dg_lora_sam_ms_masked",
 )
 
 
