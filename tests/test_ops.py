@@ -123,6 +123,34 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_decomposed_bias_attention_matches_materialized(self):
+        """xla_attention_decomposed_hm (SAM's default path) must equal the
+        materialized-bias head-major attention, fwd and grad."""
+        from vfmseg_tpu.ops.attention import (
+            xla_attention_decomposed_hm, xla_attention_headmajor)
+        from vfmseg_tpu.ops.window import (
+            decomposed_rel_pos_bias_hm, decomposed_rel_pos_terms_hm)
+
+        b, h, H, W, d = 2, 3, 4, 5, 8
+        n = H * W
+        q, k, v = (_rand(60 + i, (b, h, n, d)) for i in range(3))
+        rph = _rand(70, (2 * H - 1, d))
+        rpw = _rand(71, (2 * W - 1, d))
+
+        def f_new(q):
+            rh, rw = decomposed_rel_pos_terms_hm(q, rph, rpw, (H, W))
+            return jnp.sum(xla_attention_decomposed_hm(q, k, v, rh, rw) ** 2)
+
+        def f_old(q):
+            bias = decomposed_rel_pos_bias_hm(q, rph, rpw, (H, W))
+            return jnp.sum(xla_attention_headmajor(q, k, v, bias=bias) ** 2)
+
+        np.testing.assert_allclose(float(f_new(q)), float(f_old(q)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_new)(q)), np.asarray(jax.grad(f_old)(q)),
+            rtol=1e-4, atol=1e-4)
+
     def test_flash_cross_attention_bias(self):
         """Nq != Nk with bias (decoder-style cross attention)."""
         from jax.experimental.pallas import tpu as pltpu

@@ -225,20 +225,36 @@ class Attention(nn.Module):
 
             q, k = rot(q), rot(k)
 
-        bias = None
         if cfg.use_rel_pos:
-            from vfmseg_tpu.ops.window import decomposed_rel_pos_bias_hm
+            from vfmseg_tpu.ops.window import (
+                decomposed_rel_pos_bias_hm, decomposed_rel_pos_terms_hm)
 
             head_dim_ = cfg.embed_dim // cfg.num_heads
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                    (self.rel_pos_len, head_dim_))
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
                                    (self.rel_pos_len, head_dim_))
-            bias = decomposed_rel_pos_bias_hm(
-                q, rel_pos_h.astype(cfg.dtype), rel_pos_w.astype(cfg.dtype), hw)
+            if cfg.attn_impl == "pallas_bias":
+                # opt-in memory path: materialized bias + flash dbias kernel
+                bias = decomposed_rel_pos_bias_hm(
+                    q, rel_pos_h.astype(cfg.dtype),
+                    rel_pos_w.astype(cfg.dtype), hw)
+                out = multi_head_attention_headmajor(
+                    q, k, v, scale=cfg.qk_scale, bias=bias,
+                    impl=cfg.attn_impl)
+            else:
+                # default: k-separable bias terms fused onto the logits —
+                # no [B, H, N, N] bias tensor (see xla_attention_decomposed_hm)
+                rel_h, rel_w = decomposed_rel_pos_terms_hm(
+                    q, rel_pos_h.astype(cfg.dtype),
+                    rel_pos_w.astype(cfg.dtype), hw)
+                from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
 
-        out = multi_head_attention_headmajor(
-            q, k, v, scale=cfg.qk_scale, bias=bias, impl=cfg.attn_impl)
+                out = xla_attention_decomposed_hm(
+                    q, k, v, rel_h, rel_w, scale=cfg.qk_scale)
+        else:
+            out = multi_head_attention_headmajor(
+                q, k, v, scale=cfg.qk_scale, bias=None, impl=cfg.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return make_dense("proj", dim, cfg.proj_bias, self.lora, cfg.dtype)(
             out, deterministic=deterministic

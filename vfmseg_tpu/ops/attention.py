@@ -86,6 +86,42 @@ def xla_attention_headmajor(
     return out.astype(q.dtype)
 
 
+def xla_attention_decomposed_hm(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_h: jax.Array,
+    rel_w: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention with a k-separable decomposed rel-pos bias (SAM,
+    sam_vit.py add_decomposed_rel_pos) added straight onto the logits.
+
+    q/k/v: [B, H, N, D] with N = kh*kw; rel_h: [B, H, N, kh];
+    rel_w: [B, H, N, kw]. The logits view [..., N, kh, kw] is a free
+    minor-dim split, so the two broadcast adds fuse into the score
+    matmul's output — the [B, H, N, N] bias tensor of the generic path
+    (805 MB fp32 per SAM-H global block at 12x512^2) never exists."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, n, _d = q.shape
+    kh = rel_h.shape[-1]
+    kw = rel_w.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    logits = (logits.reshape(b, h, n, kh, kw)
+              + rel_h.astype(jnp.float32)[..., :, None]
+              + rel_w.astype(jnp.float32)[..., None, :])
+    probs = jax.nn.softmax(logits.reshape(b, h, n, kh * kw), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def multi_head_attention_qkv(
     qkv: jax.Array,
     num_heads: int,

@@ -81,12 +81,30 @@ def decomposed_rel_pos_bias_hm(q: jax.Array, rel_pos_h: jax.Array,
                                rel_pos_w: jax.Array,
                                hw: Tuple[int, int]) -> jax.Array:
     """Same bias from a head-major q [B, heads, N, hd] (N = h*w)."""
+    b, heads, n, _hd = q.shape
+    rel_h, rel_w = decomposed_rel_pos_terms_hm(q, rel_pos_h, rel_pos_w, hw)
+    h, w = hw
+    bias = (rel_h.reshape(b, heads, h, w, h)[..., :, None]
+            + rel_w.reshape(b, heads, h, w, w)[..., None, :])
+    return bias.reshape(b, heads, n, n)
+
+
+def decomposed_rel_pos_terms_hm(q: jax.Array, rel_pos_h: jax.Array,
+                                rel_pos_w: jax.Array,
+                                hw: Tuple[int, int]):
+    """The two k-separable terms of the decomposed rel-pos bias:
+    rel_h [B, heads, N, h] and rel_w [B, heads, N, w], where
+    bias[..., q, kh*w + kw] = rel_h[..., q, kh] + rel_w[..., q, kw].
+
+    Adding these onto the attention logits viewed as [..., N, kh, kw]
+    (a free minor-dim split) skips materializing the [B, heads, N, N]
+    bias — on v5e the 6D add + transpose-reshape that builds it measured
+    ~23 ms per SAM-H global block at 12x512^2 crops."""
     h, w = hw
     b, heads, n, hd = q.shape
     rh = get_rel_pos(h, h, rel_pos_h).astype(q.dtype)  # [h, h, hd]
     rw = get_rel_pos(w, w, rel_pos_w).astype(q.dtype)  # [w, w, hd]
     rq = q.reshape(b, heads, h, w, hd)
-    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
-    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
-    bias = rel_h[..., :, None] + rel_w[..., None, :]
-    return bias.reshape(b, heads, n, n)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh).reshape(b, heads, n, h)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw).reshape(b, heads, n, w)
+    return rel_h, rel_w
