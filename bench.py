@@ -15,6 +15,9 @@ Ms_VFM_encoder_decoder.py:400-466):
     skip refinement (:446-452).
   * --mode dense: the compute-all-and-select path (eval/slide.py), chained
     serially inside one jit (round-1 headline; worst case, gate never skips).
+  * --mode train / --mode uda: the DG training step and the DACS
+    self-training step (source + EMA-teacher pseudo-label + ClassMix mixed
+    batch, fwd+bwd), steps/sec.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -174,7 +177,7 @@ def measure_rtt() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("compact", "dense", "train"),
+    ap.add_argument("--mode", choices=("compact", "dense", "train", "uda"),
                     default="compact")
     ap.add_argument("--config", default="dg_lora_dinov2_ms_masked",
                     help="model config (tiny smoke configs work for CPU "
@@ -196,6 +199,8 @@ def main():
     # the parity-exact erf GELU; ~1.4x faster MLPs on the VPU)
     os.environ.setdefault("VFMSEG_GELU_APPROX", "1")
     dtype = jnp.bfloat16
+    if args.mode == "uda" and args.config == ap.get_default("config"):
+        args.config = "uda_rein_dinov2_segformer_512x512"
     cfg = load_config(args.config)
     model = build_segmentor(cfg.model, dtype=dtype, attn_impl="auto")
     test_cfg = cfg.test_cfg
@@ -229,6 +234,60 @@ def main():
                            method=MsVFMSegmentor.hr_forward)
 
     extras = {"mode": args.mode, "image_hw": [h, w]}
+
+    if args.mode == "uda":
+        # DACS self-training step (reference uda configs): source CE +
+        # EMA-teacher pseudo-labels + ClassMix mixed step, fwd+bwd
+        from vfmseg_tpu.train import (
+            TrainState, make_optimizer, partition_params, trainable_predicate)
+        from vfmseg_tpu.train.optim import merge_params
+        from vfmseg_tpu.train.uda import DACSConfig, make_dacs_train_step
+
+        bs = 2
+        extras["image_hw"] = [ih, iw]
+        img = jax.random.normal(jax.random.PRNGKey(0), (bs, ih, iw, 3), dtype)
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (bs, ih, iw, 3), dtype)
+        labels = jax.random.randint(jax.random.PRNGKey(1), (bs, ih, iw), 0, 19)
+        params = variables["params"]
+        trainable, frozen = partition_params(params, trainable_predicate())
+        optimizer = make_optimizer(trainable, base_lr=1e-4, max_steps=40000)
+        uda_cfg = cfg.get("uda", {})
+        head_key = uda_cfg.get("head_key", "decode_head")
+        ema = jax.tree_util.tree_map(
+            jnp.array, merge_params(trainable, frozen)[head_key])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(trainable), ema=ema)
+        dacs = DACSConfig(num_classes=cfg.get("num_classes", 19),
+                          head_key=head_key)
+        step_fn = make_dacs_train_step(model, optimizer, dacs, donate=False)
+        batch = {"img": img, "label": labels, "target_img": tgt}
+        rng = jax.random.PRNGKey(7)
+
+        n = args.images
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+        compile_and_first = time.time() - t0
+        rtt = measure_rtt()
+        t0 = time.time()
+        for _ in range(n):
+            state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+        elapsed = max(time.time() - t0 - rtt, 1e-9)
+        sps = n / elapsed
+        print(json.dumps({
+            "metric": f"DACS UDA steps/sec (bs{bs} {ih}^2, student+mixed "
+                      f"fwd+bwd + EMA teacher)",
+            "value": round(sps, 3),
+            "unit": "steps/sec",
+            "vs_baseline": round(sps / 1.5, 3),  # analytic A100 torch ~1.5/s
+            **extras,
+        }))
+        print(f"# first(incl. compile)={compile_and_first:.1f}s "
+              f"run={elapsed:.2f}s", file=sys.stderr)
+        return
 
     if args.mode == "train":
         # headline training step: batch 2, two-scale 1024^2 / 512^2 crops
