@@ -140,3 +140,18 @@ def test_rope_tables_shape_and_identity():
     # position (0,0) => zero angle => cos 1, sin 0
     np.testing.assert_allclose(cos[0], 1.0, atol=1e-7)
     np.testing.assert_allclose(sin[0], 0.0, atol=1e-7)
+
+
+def test_rotate_half_mxu_exact():
+    """The MXU signed-permutation rotate_half must equal the strided
+    formulation bit-exactly (entries are +-1; no accumulation)."""
+    from vfmseg_tpu.ops.rope import rotate_half, rotate_half_mxu
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 5, 7, 64),
+                    jnp.float32)
+    np.testing.assert_array_equal(np.asarray(rotate_half_mxu(x)),
+                                  np.asarray(rotate_half(x)))
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(rotate_half_mxu(xb)).astype(np.float32),
+        np.asarray(rotate_half(xb)).astype(np.float32))

@@ -212,16 +212,25 @@ class Attention(nn.Module):
             raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
 
         if rope_cs is not None:
-            # rotate patch tokens only; cls tokens bypass (eva_02.py:362-369)
+            # rotate patch tokens only; cls tokens bypass (eva_02.py:362-369).
+            # The bypass is IDENTITY ROWS in the tables (cos=1, sin=0 for the
+            # first p positions), NOT a slice+concat along the token axis —
+            # t[:, :, p:] breaks (8,128) tile alignment for every downstream
+            # op (measured 1.5 ms/block on v5e, ~half the EVA02-vs-DINOv2
+            # block-time gap).
             p = cfg.num_cls_tokens
-            cos = rope_cs[0].astype(q.dtype)[None, None, :, :]
-            sin = rope_cs[1].astype(q.dtype)[None, None, :, :]
-            from vfmseg_tpu.ops.rope import rotate_half
+            cos, sin = rope_cs
+            if p:
+                cos = jnp.concatenate(
+                    [jnp.ones((p, cos.shape[-1]), cos.dtype), cos], axis=0)
+                sin = jnp.concatenate(
+                    [jnp.zeros((p, sin.shape[-1]), sin.dtype), sin], axis=0)
+            cos = cos.astype(q.dtype)[None, None, :, :]
+            sin = sin.astype(q.dtype)[None, None, :, :]
+            from vfmseg_tpu.ops.rope import rotate_half_mxu
 
             def rot(t):
-                tp = t[:, :, p:]
-                tp = tp * cos + rotate_half(tp) * sin
-                return jnp.concatenate([t[:, :, :p], tp], axis=2) if p else tp
+                return t * cos + rotate_half_mxu(t) * sin
 
             q, k = rot(q), rot(k)
 
