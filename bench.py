@@ -179,9 +179,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("compact", "dense", "train", "uda"),
                     default="compact")
-    ap.add_argument("--config", default="dg_lora_dinov2_ms_masked",
+    ap.add_argument("--config", default=None,
                     help="model config (tiny smoke configs work for CPU "
-                         "sanity runs)")
+                         "sanity runs); default dg_lora_dinov2_ms_masked, "
+                         "or the reference UDA segformer config in "
+                         "--mode uda")
     ap.add_argument("--images", type=int, default=32)
     ap.add_argument("--group", type=int, default=8,
                     help="stage-1 batch (compact mode)")
@@ -199,8 +201,9 @@ def main():
     # the parity-exact erf GELU; ~1.4x faster MLPs on the VPU)
     os.environ.setdefault("VFMSEG_GELU_APPROX", "1")
     dtype = jnp.bfloat16
-    if args.mode == "uda" and args.config == ap.get_default("config"):
-        args.config = "uda_rein_dinov2_segformer_512x512"
+    if args.config is None:
+        args.config = ("uda_rein_dinov2_segformer_512x512"
+                       if args.mode == "uda" else "dg_lora_dinov2_ms_masked")
     cfg = load_config(args.config)
     model = build_segmentor(cfg.model, dtype=dtype, attn_impl="auto")
     test_cfg = cfg.test_cfg

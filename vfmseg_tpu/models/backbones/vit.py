@@ -212,21 +212,13 @@ class Attention(nn.Module):
             raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
 
         if rope_cs is not None:
-            # rotate patch tokens only; cls tokens bypass (eva_02.py:362-369).
-            # The bypass is IDENTITY ROWS in the tables (cos=1, sin=0 for the
-            # first p positions), NOT a slice+concat along the token axis —
-            # t[:, :, p:] breaks (8,128) tile alignment for every downstream
-            # op (measured 1.5 ms/block on v5e, ~half the EVA02-vs-DINOv2
-            # block-time gap).
-            p = cfg.num_cls_tokens
-            cos, sin = rope_cs
-            if p:
-                cos = jnp.concatenate(
-                    [jnp.ones((p, cos.shape[-1]), cos.dtype), cos], axis=0)
-                sin = jnp.concatenate(
-                    [jnp.zeros((p, sin.shape[-1]), sin.dtype), sin], axis=0)
-            cos = cos.astype(q.dtype)[None, None, :, :]
-            sin = sin.astype(q.dtype)[None, None, :, :]
+            # rope_cs covers ALL tokens: cls positions carry identity rows
+            # (cos=1, sin=0 — padded once at table construction), NOT a
+            # slice+concat along the token axis — t[:, :, p:] breaks (8,128)
+            # tile alignment for every downstream op (measured 1.5 ms/block
+            # on v5e, ~half the EVA02-vs-DINOv2 block-time gap).
+            cos = rope_cs[0].astype(q.dtype)[None, None, :, :]
+            sin = rope_cs[1].astype(q.dtype)[None, None, :, :]
             from vfmseg_tpu.ops.rope import rotate_half_mxu
 
             def rot(t):
@@ -435,11 +427,22 @@ class VisionTransformer(nn.Module):
 
         rope_cs = None
         if cfg.use_rope:
+            import numpy as np
+
             from vfmseg_tpu.ops.rope import rope_2d_tables
 
             cos, sin = rope_2d_tables(
                 gh, gw, cfg.embed_dim // cfg.num_heads,
                 pt_seq_len=cfg.rope_pt_seq_len, intp_freq=cfg.rope_intp_freq)
+            # cls tokens bypass rotation (eva_02.py:362-369) via identity
+            # rows (cos=1, sin=0) so the blocks never slice/concat the token
+            # axis; built once here, shared by all blocks
+            p = cfg.num_cls_tokens
+            if p:
+                cos = np.concatenate(
+                    [np.ones((p, cos.shape[-1]), cos.dtype), cos], axis=0)
+                sin = np.concatenate(
+                    [np.zeros((p, sin.shape[-1]), sin.dtype), sin], axis=0)
             rope_cs = (jnp.asarray(cos), jnp.asarray(sin))
 
         dpr = [

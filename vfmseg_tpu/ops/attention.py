@@ -170,6 +170,16 @@ def multi_head_attention_headmajor(
         from vfmseg_tpu.ops.flash_attention import flash_attention_headmajor
 
         return flash_attention_headmajor(q, k, v, scale=scale)
+    if impl == "pallas_bias" and bias is not None:
+        # memory opt-in: the flash bias/dbias kernels never materialize the
+        # [B, H, Nq, Nk] probability tensors; the [B, N, H, D] transposes
+        # are the price of entry
+        from vfmseg_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale=scale, bias=bias)
+        return out.transpose(0, 2, 1, 3)
     return xla_attention_headmajor(q, k, v, scale=scale, bias=bias)
 
 

@@ -220,7 +220,7 @@ def _flash_forward(q, k, v, scale: float, bias=None, with_lse: bool = True):
 # --------------------------------------------------------------------------
 
 def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
-                   has_bias: bool = False):
+                   has_bias: bool = False, exp2_scale_q: bool = False):
     if has_bias:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
          dq_ref, dbias_ref) = refs
@@ -235,6 +235,12 @@ def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
     kv_pad = k_ref.shape[2]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
+    # exp2_scale_q mirrors the exp2-folded forward (_fwd_kernel_qkv): the
+    # score matmul uses the SAME bf16-rounded pre-scaled q, so recomputed
+    # probabilities match the forward's bit-wise. Only the score matmul
+    # takes qs; dq/dk math stays in original-q units.
+    qs = ((q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+          if exp2_scale_q else q)
 
     def step(j, dq, masked):
         k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
@@ -247,15 +253,20 @@ def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
             k = jnp.where(kv_row < kv_len, k, 0)
             v = jnp.where(kv_row < kv_len, v, 0)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if not exp2_scale_q:
+            s = s * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)].astype(
                 jnp.float32)
         if masked:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
-        p = jnp.exp(s - lse)             # rows with lse=+inf give p=0
+        if exp2_scale_q:
+            p = jnp.exp2(s - lse * _LOG2E)   # rows with lse=+inf give p=0
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds_raw = p * (dp - delta)        # == dL/ds == dL/dbias
@@ -275,7 +286,7 @@ def _bwd_dq_kernel(*refs, scale: float, kv_len: int, block_k: int,
 
 
 def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
-                    has_bias: bool = False):
+                    has_bias: bool = False, exp2_scale_q: bool = False):
     if has_bias:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
          dk_ref, dv_ref) = refs
@@ -307,13 +318,19 @@ def _bwd_dkv_kernel(*refs, scale: float, q_len: int, block_q: int,
                 jnp.int32, q.shape, 0)
             q = jnp.where(qd_row < q_len, q, 0)
             do = jnp.where(qd_row < q_len, do, 0)
+        # see _bwd_dq_kernel: exp2_scale_q recomputes p from the forward's
+        # bf16-rounded pre-scaled q; dk still accumulates against original q
+        qs = ((q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+              if exp2_scale_q else q)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                      # [bq, bk] fp32
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bq, bk] fp32
+        if not exp2_scale_q:
+            s = s * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(
                 jnp.float32)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse * _LOG2E) if exp2_scale_q else jnp.exp(s - lse)
         if has_q_tail:
             # lse/delta tail entries are still garbage: scrub p and ds
             row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
@@ -516,8 +533,12 @@ def _flash_forward_hm(q, k, v, scale: float, with_lse: bool = True):
     return res if with_lse else (res, None)
 
 
-def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
-    """Unpadded [B, H, N, D] residuals + grad -> (dq, dk, dv)."""
+def _flash_backward_hm(q, k, v, lse, out, g, scale: float,
+                       exp2_scale_q: bool = False):
+    """Unpadded [B, H, N, D] residuals + grad -> (dq, dk, dv).
+
+    exp2_scale_q: True when the FORWARD ran the exp2/pre-scaled-q kernel
+    (_fwd_kernel_qkv) so the recomputed probabilities match it bit-wise."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     block_q, block_k = _blocks(nq, nk)
@@ -529,7 +550,8 @@ def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k, has_bias=False),
+                          block_k=block_k, has_bias=False,
+                          exp2_scale_q=exp2_scale_q),
         grid=(b, h, pl.cdiv(nq, block_q)),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
@@ -553,7 +575,8 @@ def _flash_backward_hm(q, k, v, lse, out, g, scale: float):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
-                          block_q=block_q, has_bias=False),
+                          block_q=block_q, has_bias=False,
+                          exp2_scale_q=exp2_scale_q),
         grid=(b, h, pl.cdiv(nk, block_k)),
         in_specs=[
             pl.BlockSpec((1, 1, qp, d), lambda bi, hi, i: (bi, hi, 0, 0),
@@ -733,7 +756,8 @@ def _flash_qkv_bwd_rule(num_heads: int, scale: float, res, g):
     q = qkv_r[:, :, 0].transpose(0, 2, 1, 3)
     k = qkv_r[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv_r[:, :, 2].transpose(0, 2, 1, 3)
-    dq, dk, dv = _flash_backward_hm(q, k, v, lse, out, g, scale)
+    dq, dk, dv = _flash_backward_hm(q, k, v, lse, out, g, scale,
+                                    exp2_scale_q=True)
     dqkv = jnp.stack([dq, dk, dv], axis=1)            # [B, 3, H, N, D]
     dqkv = dqkv.transpose(0, 3, 1, 2, 4).reshape(b, n, f)
     return (dqkv,)
