@@ -63,7 +63,9 @@ def _coverage_inv(boxes: Tuple[Tuple[int, int], ...], crop: Tuple[int, int],
     ch, cw = crop
     for (y1, x1) in boxes:
         count[y1:y1 + ch, x1:x1 + cw] += 1.0
-    return 1.0 / count
+    # hand-built box lists may leave pixels uncovered (the scatter-fallback
+    # path supports them): those stay 0, not inf/NaN
+    return np.where(count > 0, 1.0 / np.maximum(count, 1.0), 0.0)
 
 
 @functools.lru_cache(maxsize=64)
@@ -103,7 +105,9 @@ def accumulate_crops(crop_logits: jax.Array, boxes: Sequence[Tuple[int, int]],
     ~9x slower than the HBM traffic warrants (62 ms/group at bs8
     1024x2048); this reads every crop element exactly once. Slices are
     summed in ascending window order, matching the scatter version's fp32
-    add order bit-for-bit.
+    SUMMATION order bit-for-bit (the final normalization multiplies by a
+    precomputed reciprocal, which may differ from an explicit division in
+    the last ulp).
     """
     g = len(boxes)
     b = crop_logits.shape[0] // g

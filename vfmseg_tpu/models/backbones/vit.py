@@ -185,7 +185,12 @@ class Attention(nn.Module):
         #     lane-offset views of its output — zero HBM layout ops.
         #   * SAM (rel-pos bias) and EVA02 (split projections + RoPE):
         #     per-slot head-major einsums feeding the [B, H, N, D] paths.
-        if cfg.attn_type == "fused" and not cfg.use_rel_pos:
+        # (RoPE must rotate q/k BEFORE the score matmul, so the direct-qkv
+        # kernel — which never materializes per-slot q/k — cannot serve
+        # fused+RoPE configs like build_eva02(subln=False); those take the
+        # head-major branch below, which applies rope_cs correctly.)
+        if cfg.attn_type == "fused" and not cfg.use_rel_pos \
+                and not cfg.use_rope:
             qkv = make_dense("qkv", 3 * dim, cfg.qkv_bias, self.lora,
                              cfg.dtype)(x, deterministic=deterministic)
             out = multi_head_attention_qkv(

@@ -327,6 +327,7 @@ class Mask2FormerHead(nn.Module):
     feat_channels: int = 256
     num_transformer_feat_level: int = 3
     num_decoder_layers: int = 9
+    num_heads: int = 8
     replace_query_feat: bool = False
     rein_queries: bool = True
     dtype: Any = jnp.float32
@@ -395,7 +396,8 @@ class Mask2FormerHead(nn.Module):
             # all-masked rows attend everywhere (rein_mask2former.py:71)
             all_true = jnp.all(am, axis=-1, keepdims=True)
             am = jnp.where(all_true, False, am)
-            am = jnp.broadcast_to(am[:, None], (b, 8) + am.shape[1:])
+            am = jnp.broadcast_to(am[:, None],
+                                  (b, self.num_heads) + am.shape[1:])
             return cls_pred, mask_pred, am
 
         cls_preds, mask_preds = [], []
@@ -406,7 +408,8 @@ class Mask2FormerHead(nn.Module):
         for i in range(self.num_decoder_layers):
             lvl = i % self.num_transformer_feat_level
             query_feat = Mask2FormerDecoderLayer(
-                embed_dims=c, dtype=self.dtype, name=f"decoder_layer{i}",
+                embed_dims=c, num_heads=self.num_heads, dtype=self.dtype,
+                name=f"decoder_layer{i}",
             )(query_feat, decoder_inputs[lvl], query_pos, decoder_poses[lvl],
               attn_mask)
             cls_pred, mask_pred, attn_mask = forward_head(

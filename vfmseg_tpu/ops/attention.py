@@ -62,6 +62,17 @@ def _default_impl() -> str:
     return "pallas" if backend == "tpu" else "xla"
 
 
+@functools.lru_cache(maxsize=8)
+def _warn_odd_heads_downgrade(num_heads: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"impl='pallas' requested but num_heads={num_heads} is odd; the "
+        "fused-qkv flash kernel processes head PAIRS per grid cell, so "
+        "this call falls back to the XLA attention path",
+        stacklevel=3)
+
+
 def xla_attention_headmajor(
     q: jax.Array,
     k: jax.Array,
@@ -135,12 +146,18 @@ def multi_head_attention_qkv(
     lane-offset views of the SAME tensor — the single fastest path for the
     ViT hot loop (one natural-layout [E, 3HD] matmul, zero layout ops).
     """
+    requested = impl
     if impl == "auto":
         impl = _default_impl()
-    if impl in ("pallas", "pallas_bias") and num_heads % 2 == 0:
-        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv
+    if impl in ("pallas", "pallas_bias"):
+        if num_heads % 2 == 0:
+            from vfmseg_tpu.ops.flash_attention import flash_attention_qkv
 
-        return flash_attention_qkv(qkv, num_heads, scale=scale)
+            return flash_attention_qkv(qkv, num_heads, scale=scale)
+        if requested != "auto":
+            # an explicitly requested pallas impl silently hitting the XLA
+            # path is a surprising perf cliff — say so once
+            _warn_odd_heads_downgrade(num_heads)
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     qkv_r = qkv.reshape(b, n, 3, num_heads, d)
