@@ -220,6 +220,7 @@ def main():
     variables = random_variables(model, init_img, init_lab)
 
     crop_sharding = None
+    mesh = None
     if args.mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -366,7 +367,7 @@ def main():
         compact = CompactMsSlide(
             lambda v, x: lr_fn(v, x), lambda v, c, t: hr_fn(v, c, t),
             crop=crop, stride=stride, lr_size=lr_size,
-            threshold=threshold, conf=conf)
+            threshold=threshold, conf=conf, mesh=mesh)
 
         images = [
             jax.random.normal(jax.random.PRNGKey(100 + i), (h, w, 3), dtype)

@@ -94,6 +94,42 @@ def test_evaluate_sharded_equals_unsharded_real_model():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sharded))
 
 
+def test_compact_stream_sharded_equals_unsharded_real_model():
+    """VERDICT r2 #3: the gated stream engine sharded over the data axis
+    must yield the exact predictions of the unsharded engine (including a
+    tail group that does not divide the axis)."""
+    from test_models import build_tiny_msvfm
+
+    from vfmseg_tpu.eval.evaluator import make_compact_ms_slide
+
+    model = build_tiny_msvfm()
+    imgs = [jax.random.normal(K(10 + i), (128, 128, 3)) for i in range(5)]
+    init_img = imgs[0][None]
+    labels = jax.random.randint(K(4), (1, 128, 128), 0, 5)
+    variables = model.init(
+        {"params": K(5), "crop": K(6), "mask": K(7), "dropout": K(8)},
+        init_img, labels)
+
+    test_cfg = dict(mode="ms_slide_inference", gate="compact",
+                    threshold=0.5, conf=0.8,
+                    lr_img_size=(64, 64), stride=(32, 32), crop_size=(64, 64))
+    plain_engine, _ = make_compact_ms_slide(model, test_cfg)
+    plain = [np.asarray(x) for x in
+             plain_engine.stream(variables, imgs, group=4, depth=1)]
+
+    mesh = make_mesh(data=8, model=1)
+    sh_engine, _ = make_compact_ms_slide(model, test_cfg, mesh=mesh)
+    with jax.set_mesh(mesh):
+        sharded = [np.asarray(x) for x in
+                   sh_engine.stream(variables, imgs, group=4, depth=1)]
+
+    assert len(plain) == len(sharded) == 5
+    # identical gate decisions (the gate reads the same confidences)
+    assert plain_engine.stat_refined == sh_engine.stat_refined
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_dp_tp_train_step_matches_single_device():
     """One sharded (data=4, model=2) train step must produce the same loss
     and updated params as the unsharded step — the correctness guarantee

@@ -126,13 +126,6 @@ def main():
         use_stream = (test_cfg.get("gate") == "compact"
                       and test_cfg.get("mode") == "ms_slide_inference"
                       and not args.tta)
-        if use_stream and mesh is not None:
-            # the gated stream engine has no crop sharding yet — honor the
-            # user's --data-parallel request on the dense path instead of
-            # silently evaluating single-device
-            print("--data-parallel: using the dense (compute-all) path; "
-                  "the compact stream engine is single-device")
-            use_stream = False
         if use_stream:
             # throughput path: grouped stage-1 + pipelined gate readback
             from collections import deque
@@ -150,7 +143,7 @@ def main():
 
             preds = stream_evaluate(
                 model, variables, test_cfg, image_iter(), out_hw,
-                group=test_cfg.get("stream_group", 4))
+                group=test_cfg.get("stream_group", 4), mesh=mesh)
             for pred in preds:
                 raw, label, i = meta.popleft()
                 acc.update(pred, label, key)

@@ -48,7 +48,8 @@ class CompactMsSlide:
                  lr_size: Tuple[int, int] = (512, 1024),
                  threshold: float = 0.968, conf: float = 0.8,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 align_corners: bool = False):
+                 align_corners: bool = False,
+                 mesh=None):
         self.lr_fn = lr_logits_fn
         self.hr_fn = hr_logits_fn
         self.crop = crop
@@ -58,6 +59,20 @@ class CompactMsSlide:
         self.conf = conf
         self.buckets = buckets
         self.align_corners = align_corners
+        # multi-chip: shard the window/crop batch over the mesh's data axis
+        # (SURVEY §5.7 — crop batch is the natural eval-scaling axis). The
+        # gate itself stays host-side; only the jitted phases shard.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._nshard = int(mesh.shape["data"])
+            self._crop_sharding = NamedSharding(mesh, P("data"))
+            self._img_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._nshard = 1
+            self._crop_sharding = None
+            self._img_sharding = None
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(2,))
         self._refine: Dict[int, Callable] = {}
         self.reset_stats()
@@ -70,6 +85,8 @@ class CompactMsSlide:
         self.stat_refined = 0
 
     def _stage1_impl(self, variables, img, img_hw):
+        if self._img_sharding is not None:
+            img = jax.lax.with_sharding_constraint(img, self._img_sharding)
         full = self.lr_fn(
             variables,
             resize(img, size=self.lr_size, method="bilinear",
@@ -78,6 +95,8 @@ class CompactMsSlide:
                       align_corners=self.align_corners)
         boxes = compute_slide_grid(img_hw, self.crop, self.stride)
         ctx = extract_crops(full, boxes, self.crop)
+        if self._crop_sharding is not None:
+            ctx = jax.lax.with_sharding_constraint(ctx, self._crop_sharding)
         probs = jax.nn.softmax(ctx.astype(jnp.float32), axis=-1)
         confidence = jnp.mean(
             (jnp.max(probs, axis=-1) > self.threshold).astype(jnp.float32),
@@ -101,6 +120,11 @@ class CompactMsSlide:
                     img_crops = extract_crops(img, boxes, self.crop)
                     g_img = jnp.take(img_crops, idx, axis=0)
                     g_ctx = jnp.take(ctx, idx, axis=0)
+                    if self._crop_sharding is not None:
+                        g_img = jax.lax.with_sharding_constraint(
+                            g_img, self._crop_sharding)
+                        g_ctx = jax.lax.with_sharding_constraint(
+                            g_ctx, self._crop_sharding)
                     refined = self.hr_fn(variables, g_img, g_ctx).astype(
                         ctx.dtype)
                     # scatter-by-add: padded rows carry a zero delta, so
@@ -120,12 +144,23 @@ class CompactMsSlide:
         conf_host = np.asarray(confidence)          # tiny readback
         return self._finish(variables, img, ctx, conf_host)
 
-    def _finish(self, variables, img, ctx, conf_host):
+    def _finish(self, variables, img, ctx, conf_host, real=None):
         h, w = img.shape[1], img.shape[2]
+        g = img.shape[0]
+        if real is not None and real < g:
+            # batch-pad images (sharded tail groups) must never refine or
+            # count: windows are box-major, window i belongs to image i % g
+            conf_host = conf_host.copy()
+            conf_host[np.arange(conf_host.size) % g >= real] = np.inf
+            self.stat_windows += (conf_host.size // g) * real
+        else:
+            self.stat_windows += conf_host.size
         need = np.nonzero(conf_host < self.conf)[0]
-        self.stat_windows += conf_host.size
         self.stat_refined += len(need)
         k = _bucket(len(need), self.buckets) if len(need) else 0
+        if k and self._nshard > 1:
+            # refine batch shards over the data axis: pad to a multiple
+            k = -(-k // self._nshard) * self._nshard
         # one combined [2k] int32 host->device transfer (idx then validity) —
         # small H2D transfers cost ~30 ms each on high-latency links
         idx_valid = np.zeros(max(2 * k, 1), np.int32)
@@ -150,25 +185,36 @@ class CompactMsSlide:
         """
         from collections import deque
 
+        if self._nshard > 1 and group % self._nshard:
+            group = -(-group // self._nshard) * self._nshard
+
         def chunks():
             buf = []
             for im in images:
                 buf.append(im)
                 if len(buf) == group:
-                    yield jnp.stack(buf)
+                    yield jnp.stack(buf), group
                     buf = []
             if buf:
-                yield jnp.stack(buf)
+                real = len(buf)
+                if self._nshard > 1 and real % self._nshard:
+                    # pad the tail group so the batch still divides the data
+                    # axis; padded rows are dropped before yielding
+                    buf += [buf[-1]] * (-(-real // self._nshard)
+                                        * self._nshard - real)
+                yield jnp.stack(buf), real
 
         pending = deque()
 
-        def finish(img, ctx, confidence):
+        def finish(img, ctx, confidence, real):
             logits, _n = self._finish(variables, img, ctx,
-                                      np.asarray(confidence))
-            for i in range(img.shape[0]):
+                                      np.asarray(confidence), real=real)
+            for i in range(real):
                 yield logits[i]
 
-        for img in chunks():
+        for img, real in chunks():
+            if self._img_sharding is not None:
+                img = jax.device_put(img, self._img_sharding)
             h, w = img.shape[1], img.shape[2]
             ctx, confidence = self._stage1(variables, img, (h, w))
             # start the tiny gate readback NOW so it rides along while later
@@ -178,7 +224,7 @@ class CompactMsSlide:
                 confidence.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append((img, ctx, confidence))
+            pending.append((img, ctx, confidence, real))
             if len(pending) > depth:
                 yield from finish(*pending.popleft())
         while pending:

@@ -136,9 +136,11 @@ def _finish(logits, out_hw):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-def make_compact_ms_slide(model, test_cfg: Dict):
+def make_compact_ms_slide(model, test_cfg: Dict, mesh=None):
     """The reusable gated two-phase engine for `model` (eval/compact.py),
-    with DomainGeneral unwrapped. Returns (engine, rescope-or-None)."""
+    with DomainGeneral unwrapped. Returns (engine, rescope-or-None).
+    mesh: optional jax Mesh — the window/crop batch shards over its "data"
+    axis (multi-chip gated eval)."""
     from vfmseg_tpu.eval.compact import CompactMsSlide
 
     inner, rescope = unwrap_model(model)
@@ -149,16 +151,17 @@ def make_compact_ms_slide(model, test_cfg: Dict):
         stride=tuple(test_cfg.get("stride", (320, 320))),
         lr_size=tuple(test_cfg.get("lr_img_size", (512, 1024))),
         threshold=test_cfg.get("threshold", 0.968),
-        conf=test_cfg.get("conf", 0.8))
+        conf=test_cfg.get("conf", 0.8),
+        mesh=mesh)
     return engine, rescope
 
 
 def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
-                    group: int = 4):
+                    group: int = 4, mesh=None):
     """Throughput eval: yield per-image [H, W] predictions for a stream of
     same-shaped preprocessed images via CompactMsSlide.stream (grouped
     stage-1 + pipelined gate; see bench.py)."""
-    engine, rescope = make_compact_ms_slide(model, test_cfg or {})
+    engine, rescope = make_compact_ms_slide(model, test_cfg or {}, mesh=mesh)
     if rescope is not None:
         variables = rescope(variables)
     finish = jax.jit(lambda logits: _finish(logits[None], out_hw)[0])
@@ -166,10 +169,11 @@ def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
         yield finish(logits)
 
 
-def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int]):
+def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
+                               mesh=None):
     """Gated two-phase ms_slide (eval/compact.py): identical outputs to the
     dense path, but only low-confidence windows are refined."""
-    compact, rescope = make_compact_ms_slide(model, test_cfg or {})
+    compact, rescope = make_compact_ms_slide(model, test_cfg or {}, mesh=mesh)
     finish = jax.jit(lambda logits: _finish(logits, out_hw))
 
     def predict(variables, img):
@@ -197,7 +201,7 @@ def make_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
         crop_sharding = NamedSharding(mesh, P("data"))
     if (mode == "ms_slide_inference" and test_cfg.get("gate") == "compact"
             and not tta):
-        return make_compact_ms_predict_fn(model, test_cfg, out_hw)
+        return make_compact_ms_predict_fn(model, test_cfg, out_hw, mesh=mesh)
 
     logits_fn = make_logits_fn(model, test_cfg, mode, crop_sharding)
     if not tta:
