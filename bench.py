@@ -59,21 +59,29 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+def vit_fwd_flops(tokens, e=1024, depth=24):
+    """Analytic ViT forward matmul FLOPs (heads add a few percent,
+    uncounted — MFU is therefore a slight underestimate). Per token per
+    block: qkv 6e^2 + proj 2e^2 + mlp 16e^2 + attention 4*n*e."""
+    per_tok = 24 * e * e + 4 * tokens * e
+    return depth * per_tok * tokens
+
+
 def vit_l_flops_per_image(img_hw, lr_size, crop, stride, skip_rate):
-    """Analytic matmul FLOPs of the two-stage pipeline (ViT-L/16 dominates;
-    heads add a few percent, uncounted — MFU is therefore a slight
-    underestimate). Per token per block: qkv 6e^2 + proj 2e^2 + mlp 16e^2 +
-    attention 4*n*e."""
-    e, depth = 1024, 24
-
-    def vit(tokens):
-        per_tok = 24 * e * e + 4 * tokens * e
-        return depth * per_tok * tokens
-
-    stage1 = vit((lr_size[0] // 16) * (lr_size[1] // 16))
+    """Two-stage inference pipeline FLOPs (ViT-L/16 dominates)."""
+    stage1 = vit_fwd_flops((lr_size[0] // 16) * (lr_size[1] // 16))
     n_windows = len(compute_slide_grid(img_hw, crop, stride))
-    refine = vit((crop[0] // 16) * (crop[1] // 16))
+    refine = vit_fwd_flops((crop[0] // 16) * (crop[1] // 16))
     return stage1 + (1.0 - skip_rate) * n_windows * refine
+
+
+def peak_hbm_gb():
+    """Device peak-memory high-water mark, if the backend exposes it."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:  # noqa: BLE001 — remote backends may not expose stats
+        return None
 
 
 def random_variables(model, img, labels, seed=0):
@@ -195,6 +203,9 @@ def main():
                     help="benchmark image size (Cityscapes protocol)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="shard the crop batch over an N-device data mesh")
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="compact mode: also bench forced gate skip rates "
+                         "{0.5, 0.65, 0.8, 0.9} (img/s vs skip-rate table)")
     args = ap.parse_args()
 
     # tanh-GELU for production inference (documented ~1e-3 deviation from
@@ -281,6 +292,19 @@ def main():
         float(metrics["loss"])
         elapsed = max(time.time() - t0 - rtt, 1e-9)
         sps = n / elapsed
+        # FLOP model (VERDICT r2 item 6): source fwd+bwd (2F) + mixed
+        # fwd+bwd (2F) + teacher target features fwd (1F) per image; bwd =
+        # dX only for the frozen ViT (adapter dW is negligible), so
+        # fwd+bwd ~ 2x fwd — a slight underestimate like the eval modes
+        tok = (ih // 16) * (iw // 16) + 1
+        flops_step = bs * 5 * vit_fwd_flops(tok)
+        tflops = sps * flops_step / 1e12
+        extras["tflops_per_sec"] = round(tflops, 1)
+        extras["train_mfu_vs_v5e_bf16_peak"] = round(
+            tflops / V5E_BF16_PEAK_TFLOPS, 3)
+        hbm = peak_hbm_gb()
+        if hbm is not None:
+            extras["peak_hbm_gb"] = hbm
         print(json.dumps({
             "metric": f"DACS UDA steps/sec (bs{bs} {ih}^2, student+mixed "
                       f"fwd+bwd + EMA teacher)",
@@ -300,6 +324,7 @@ def main():
             trainable_predicate)
 
         bs = 2
+        extras["image_hw"] = [ih, iw]
         img = jax.random.normal(jax.random.PRNGKey(0), (bs, ih, iw, 3), dtype)
         labels = jax.random.randint(jax.random.PRNGKey(1), (bs, ih, iw), 0, 19)
         params = variables["params"]
@@ -325,6 +350,20 @@ def main():
         float(metrics["loss"])  # serial dependency via state forces the chain
         elapsed = max(time.time() - t0 - rtt, 1e-9)
         sps = n / elapsed
+        # FLOP model (VERDICT r2 item 6): two 512^2-token ViT forwards per
+        # image (0.5x full view + HR crop), fwd+bwd ~ 2x fwd (dX only for
+        # the frozen backbone; adapter/head dW negligible)
+        ch_, cw_ = tuple(cfg.get_path("model.hr_crop_size", (512, 512)))
+        lr_tok = (ih // 32) * (iw // 32) + 1
+        hr_tok = (ch_ // 16) * (cw_ // 16) + 1
+        flops_step = bs * 2 * (vit_fwd_flops(lr_tok) + vit_fwd_flops(hr_tok))
+        tflops = sps * flops_step / 1e12
+        extras["tflops_per_sec"] = round(tflops, 1)
+        extras["train_mfu_vs_v5e_bf16_peak"] = round(
+            tflops / V5E_BF16_PEAK_TFLOPS, 3)
+        hbm = peak_hbm_gb()
+        if hbm is not None:
+            extras["peak_hbm_gb"] = hbm
         print(json.dumps({
             "metric": f"train steps/sec (bs{bs} two-scale {ih}^2, ViT-L "
                       f"MsVFM fwd+bwd)",
@@ -390,50 +429,73 @@ def main():
             _c2, conf2 = compact._stage1(v2, img_cal, (h, w))
             return float(jnp.mean((conf2 >= conf).astype(jnp.float32)))
 
-        s, _ = calibrate_logit_scale(ctx, threshold, conf)
-        lo, hi = s / 8.0, s * 8.0
-        while measured_rate(hi) < TARGET_SKIP_RATE and hi < 1e12:
-            lo, hi = hi, hi * 8.0
-        while measured_rate(lo) > TARGET_SKIP_RATE and lo > 1e-6:
-            lo, hi = lo / 8.0, lo
-        best_s, best_r = s, measured_rate(s)
-        for _ in range(12):
-            mid = (lo * hi) ** 0.5
-            r = measured_rate(mid)
-            if abs(r - TARGET_SKIP_RATE) < abs(best_r - TARGET_SKIP_RATE):
-                best_s, best_r = mid, r
-            if abs(r - TARGET_SKIP_RATE) <= 0.02:
-                break
-            if r < TARGET_SKIP_RATE:
-                lo = mid
-            else:
-                hi = mid
-        s, achieved = best_s, best_r
-        variables = scale_decode_head(variables, s)
-        extras["gate_skip_rate"] = round(achieved, 3)
-        extras["logit_scale"] = s
+        s_seed, _ = calibrate_logit_scale(ctx, threshold, conf)
 
-        def run_stream():
+        def calibrate_to(target):
+            lo, hi = s_seed / 8.0, s_seed * 8.0
+            while measured_rate(hi) < target and hi < 1e12:
+                lo, hi = hi, hi * 8.0
+            while measured_rate(lo) > target and lo > 1e-6:
+                lo, hi = lo / 8.0, lo
+            best_s, best_r = s_seed, measured_rate(s_seed)
+            for _ in range(12):
+                mid = (lo * hi) ** 0.5
+                r = measured_rate(mid)
+                if abs(r - target) < abs(best_r - target):
+                    best_s, best_r = mid, r
+                if abs(r - target) <= 0.02:
+                    break
+                if r < target:
+                    lo = mid
+                else:
+                    hi = mid
+            return best_s, best_r
+
+        def run_stream(run_vars):
             last = None
-            for out in compact.stream(variables, images, group=args.group,
+            for out in compact.stream(run_vars, images, group=args.group,
                                       depth=args.depth):
                 last = out
             # close the tail: force the last group's compute
             return float(jnp.sum(last[::128, ::128]).astype(jnp.float32))
 
+        def timed_run(run_vars):
+            compact.reset_stats()
+            t0 = time.time()
+            run_stream(run_vars)
+            elapsed = max(time.time() - t0, 1e-9)
+            rate = 1.0 - compact.stat_refined / max(compact.stat_windows, 1)
+            return args.images / elapsed, rate, elapsed
+
+        # NOTE: measured_rate/calibrate_to close over the UNscaled
+        # `variables`; every returned scale is absolute
+        s, achieved = calibrate_to(TARGET_SKIP_RATE)
+        headline_vars = scale_decode_head(variables, s)
+        extras["gate_skip_rate"] = round(achieved, 3)
+        extras["logit_scale"] = s
+
         t0 = time.time()
-        run_stream()                      # compile (stage1, buckets, finish)
+        run_stream(headline_vars)         # compile (stage1, buckets, finish)
         compile_and_first = time.time() - t0
         rtt = measure_rtt()
-        compact.reset_stats()
-        t0 = time.time()
-        run_stream()
-        elapsed = max(time.time() - t0, 1e-9)
-        ips = args.images / elapsed
         # the FLOPs estimate uses the rate the timed stream ACTUALLY ran at
         # (counted in CompactMsSlide._finish), not the calibration estimate
-        skip_rate = 1.0 - compact.stat_refined / max(compact.stat_windows, 1)
+        ips, skip_rate, elapsed = timed_run(headline_vars)
         extras["measured_skip_rate"] = round(skip_rate, 3)
+
+        if args.skip_sweep:
+            # gate-sensitivity bracket (VERDICT r2 item 7): how img/s moves
+            # with the fraction of windows the gate skips
+            sweep = []
+            for target in (0.5, 0.65, 0.8, 0.9):
+                s_t, _ = calibrate_to(target)
+                v_t = scale_decode_head(variables, s_t)
+                run_stream(v_t)           # warm any new refine buckets
+                ips_t, rate_t, _el = timed_run(v_t)
+                sweep.append({"target_skip": target,
+                              "measured_skip": round(rate_t, 3),
+                              "images_per_sec": round(ips_t, 3)})
+            extras["skip_rate_sweep"] = sweep
 
     flops = vit_l_flops_per_image((h, w), lr_size, crop, stride, skip_rate)
     tflops = ips * flops / 1e12
