@@ -153,13 +153,14 @@ class TestLosses:
         np.testing.assert_allclose(float(acc), 100.0 * 2 / 3, rtol=1e-6)
 
 
-def build_tiny_msvfm():
-    backbone = _tiny_backbone(img_size=64)
-    decode_head = LinearHead(in_channels=(32,) * 4, channels=8, num_classes=5)
+def build_tiny_msvfm(dtype=jnp.float32):
+    backbone = _tiny_backbone(img_size=64, dtype=dtype)
+    decode_head = LinearHead(in_channels=(32,) * 4, channels=8, num_classes=5,
+                             dtype=dtype)
     aux_head = VFMHead(
         transformer=dict(n_heads=2, d_head=8, depth=1, dropout=0.0,
                          mask_ratio=0.2, query_dim=16),
-        in_channels=(32,) * 4, channels=16, num_classes=5,
+        in_channels=(32,) * 4, channels=16, num_classes=5, dtype=dtype,
     )
     return MsVFMSegmentor(
         backbone=backbone, decode_head=decode_head, aux_head=aux_head,
