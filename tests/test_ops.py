@@ -36,6 +36,50 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_flash_relpos_matches_xla_decomposed_interpret(self):
+        """SAM separable rel-pos flash kernel (bias tile rebuilt in-kernel
+        from the k-separable terms) vs the XLA decomposed formulation, at a
+        non-square grid and a non-aligned token count."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
+        from vfmseg_tpu.ops.flash_attention import flash_attention_relpos_hm
+
+        kh, kw, d, heads = 6, 9, 16, 2
+        n = kh * kw
+        q, k, v = (_rand(i + 30, (2, heads, n, d)) for i in range(3))
+        rel_h = _rand(40, (2, heads, n, kh))
+        rel_w = _rand(41, (2, heads, n, kw))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_relpos_hm(q, k, v, rel_h, rel_w)
+        ref = xla_attention_decomposed_hm(q, k, v, rel_h, rel_w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_flash_relpos_grad_matches_xla_decomposed(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
+        from vfmseg_tpu.ops.flash_attention import flash_attention_relpos_hm
+
+        kh, kw, d, heads = 4, 5, 8, 2
+        n = kh * kw
+        args = tuple(_rand(i + 50, (1, heads, n, d)) for i in range(3)) + (
+            _rand(54, (1, heads, n, kh)), _rand(55, (1, heads, n, kw)))
+
+        def f_flash(*a):
+            return jnp.sum(flash_attention_relpos_hm(*a) ** 2)
+
+        def f_xla(*a):
+            return jnp.sum(xla_attention_decomposed_hm(*a) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(f_flash, argnums=tuple(range(5)))(*args)
+        g2 = jax.grad(f_xla, argnums=tuple(range(5)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_flash_grad_matches_xla(self):
         """Both backward kernels (dQ and dK/dV) in interpreter mode,
         including a non-block-aligned sequence length (padded rows)."""
@@ -260,6 +304,45 @@ class TestDeformSampling:
         b = bilinear_sample_matmul(jnp.asarray(value), loc)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_pallas_sampling_matches_gather_interpret(self):
+        """The VMEM-fused sampler (eval hot path for the Mask2Former pixel
+        decoder) in interpreter mode, incl. out-of-range zero padding and a
+        non-block-aligned sample count."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.deform_attn import (
+            _sample_nhwc_xy, _sample_pallas)
+
+        value = jnp.asarray(_rand(0, (3, 7, 9, 5)))
+        loc = jnp.asarray(_rand(1, (3, 40, 2))) * 1.4 - 0.2
+        xn, yn = loc[..., 0], loc[..., 1]
+        with pltpu.force_tpu_interpret_mode():
+            a = _sample_pallas(value, xn, yn)
+        b = _sample_nhwc_xy(value, xn, yn)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pallas_sampling_grad_matches_gather_interpret(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.deform_attn import (
+            _sample_nhwc_xy, _sample_pallas)
+
+        value = jnp.asarray(_rand(2, (2, 6, 6, 4)))
+        loc = jnp.asarray(_rand(3, (2, 25, 2))) * 0.9 + 0.05
+        xn, yn = loc[..., 0], loc[..., 1]
+
+        with pltpu.force_tpu_interpret_mode():
+            ga = jax.grad(
+                lambda v, x, y: jnp.sum(_sample_pallas(v, x, y) ** 2),
+                argnums=(0, 1, 2))(value, xn, yn)
+        gb = jax.grad(
+            lambda v, x, y: jnp.sum(_sample_nhwc_xy(v, x, y) ** 2),
+            argnums=(0, 1, 2))(value, xn, yn)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
     def test_matmul_sampling_grad_matches_gather(self):
         from vfmseg_tpu.ops.deform_attn import (

@@ -249,15 +249,18 @@ class Attention(nn.Module):
                     q, k, v, scale=cfg.qk_scale, bias=bias,
                     impl=cfg.attn_impl)
             else:
-                # default: k-separable bias terms fused onto the logits —
-                # no [B, H, N, N] bias tensor (see xla_attention_decomposed_hm)
+                # default: k-separable bias terms — no [B, H, N, N] bias
+                # tensor; on TPU the flash kernel also keeps the logits in
+                # VMEM (multi_head_attention_decomposed_hm)
                 rel_h, rel_w = decomposed_rel_pos_terms_hm(
                     q, rel_pos_h.astype(cfg.dtype),
                     rel_pos_w.astype(cfg.dtype), hw)
-                from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
+                from vfmseg_tpu.ops.attention import (
+                    multi_head_attention_decomposed_hm)
 
-                out = xla_attention_decomposed_hm(
-                    q, k, v, rel_h, rel_w, scale=cfg.qk_scale)
+                out = multi_head_attention_decomposed_hm(
+                    q, k, v, rel_h, rel_w, scale=cfg.qk_scale,
+                    impl=cfg.attn_impl)
         else:
             out = multi_head_attention_headmajor(
                 q, k, v, scale=cfg.qk_scale, bias=None, impl=cfg.attn_impl)

@@ -133,6 +133,30 @@ def xla_attention_decomposed_hm(
     return out.astype(q.dtype)
 
 
+def multi_head_attention_decomposed_hm(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_h: jax.Array,
+    rel_w: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention with SAM's k-separable decomposed rel-pos bias.
+
+    On TPU this rides the flash kernel that rebuilds the bias tile
+    in-kernel from the separable terms — neither the [B, H, N, N] logits
+    nor the bias ever reach HBM (the XLA path materializes the logits)."""
+    if impl == "auto":
+        impl = _default_impl()
+    if impl in ("pallas", "pallas_bias"):
+        from vfmseg_tpu.ops.flash_attention import flash_attention_relpos_hm
+
+        return flash_attention_relpos_hm(q, k, v, rel_h, rel_w, scale=scale)
+    return xla_attention_decomposed_hm(q, k, v, rel_h, rel_w, scale=scale)
+
+
 def multi_head_attention_qkv(
     qkv: jax.Array,
     num_heads: int,

@@ -821,6 +821,155 @@ def flash_attention_headmajor(
     return _flash_hm(q, k, v, float(scale))
 
 
+# --------------------------------------------------------------------------
+# head-major flash with k-SEPARABLE rel-pos bias built in-kernel (SAM,
+# sam_vit.py add_decomposed_rel_pos): bias[q, kh*w + kw] =
+# rel_h[q, kh] + rel_w[q, kw]. The [B, H, N, N] bias/logits tensors never
+# exist anywhere — the per-kv-block bias tile is reconstructed on the fly
+# from the separable terms via two constant one-hot matmuls (the one-hots
+# are iota comparisons; MXU cost 2*bq*bk*(h+w), trivial VMEM).
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_relpos(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                       scale: float, kv_len: int, block_k: int, w: int):
+    q = q_ref[0, 0, :, :]
+    rh = rh_ref[0, 0, :, :]              # [bq, h]
+    rw = rw_ref[0, 0, :, :]              # [bq, w]
+    h = rh.shape[1]
+    block_q, d = q.shape
+    kv_pad = k_ref.shape[2]
+    num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
+
+    def step(j, carry, masked):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        if masked:
+            kv_row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, k.shape, 0)
+            k = jnp.where(kv_row < kv_len, k, 0)
+            v = jnp.where(kv_row < kv_len, v, 0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        # separable bias tile: one-hot selectors for this block's columns
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (h, block_k), 1)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 0)
+        mh = (row_h == col // w).astype(q.dtype)
+        col_w = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (w, block_k), 1)
+        row_w = jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 0)
+        mw = (row_w == col_w % w).astype(q.dtype)
+        s = s + jax.lax.dot_general(
+            rh, mh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw, mw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if masked:
+            cmask = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1)
+            s = jnp.where(cmask < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    carry = (jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
+             jnp.zeros((block_q, 1), dtype=jnp.float32),
+             jnp.zeros((block_q, d), dtype=jnp.float32))
+    for j in range(num_kv - 1 if has_tail else num_kv):
+        carry = step(j, carry, masked=False)
+    if has_tail:
+        carry = step(num_kv - 1, carry, masked=True)
+    m, l, acc = carry
+    safe_l = jnp.maximum(l, 1e-37)
+    o_ref[0, 0, :, :] = (acc / safe_l).astype(o_ref.dtype)
+
+
+def _flash_forward_relpos_hm(q, k, v, rel_h, rel_w, w: int, scale: float):
+    """[B, H, N, D] + separable terms -> out [B, H, N, D] (primal only)."""
+    b, heads, nq, d = q.shape
+    nk = k.shape[2]
+    block_q, block_k = _blocks(nq, nk)
+    kvp = _round_up(nk, block_k)
+    grid = (b, heads, pl.cdiv(nq, block_q))
+    h = rel_h.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_relpos, scale=scale, kv_len=nk,
+                          block_k=block_k, w=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, h), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, w), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * nq * nk * d
+            + 4 * b * heads * nq * nk * (h + w) // 2,
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * heads * nq * nk,
+        ),
+    )(q, k, v, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_relpos_hm(q, k, v, rel_h, rel_w, w: int, scale: float):
+    return _flash_forward_relpos_hm(q, k, v, rel_h, rel_w, w, scale)
+
+
+def _flash_relpos_fwd_rule(q, k, v, rel_h, rel_w, w: int, scale: float):
+    out = _flash_forward_relpos_hm(q, k, v, rel_h, rel_w, w, scale)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _flash_relpos_bwd_rule(w: int, scale: float, res, g):
+    # training path: recompute through the XLA decomposed formulation (the
+    # [N, N] materialization only costs the backward, as before this kernel)
+    from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
+
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, rh_, rw_: xla_attention_decomposed_hm(
+            q_, k_, v_, rh_, rw_, scale=scale), q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+_flash_relpos_hm.defvjp(_flash_relpos_fwd_rule, _flash_relpos_bwd_rule)
+
+
+def flash_attention_relpos_hm(q, k, v, rel_h, rel_w, *,
+                              scale: Optional[float] = None):
+    """Flash attention over head-major [B, H, N, D] with SAM's decomposed
+    rel-pos bias applied in-kernel from its k-separable terms
+    (rel_h [B, H, N, kh], rel_w [B, H, N, kw]; N = kh*kw)."""
+    if q.ndim != 4:
+        raise NotImplementedError("expects [B, H, N, D]")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    w = rel_w.shape[-1]
+    if rel_h.shape[-1] * w != q.shape[2]:
+        raise NotImplementedError("N must equal kh*kw")
+    return _flash_relpos_hm(q, k, v, rel_h, rel_w, w, float(scale))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale: float):
     out, _, _ = _flash_forward(q, k, v, scale, with_lse=False)
