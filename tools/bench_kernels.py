@@ -39,16 +39,20 @@ SHAPES = {
 
 
 def time_chain(fn, x, iters):
-    """fn: x -> x-like. Chains iters applications, returns sec/iter."""
+    """fn: x -> x-like. Chains iters applications UNROLLED inside one jit
+    (lax loops carry ~1-3 ms/iteration overhead on the axon backend, which
+    swamps ms-scale kernels), returns sec/iter."""
 
     @jax.jit
     def chain(x):
-        return jax.lax.fori_loop(0, iters, lambda i, c: fn(c), x)
+        for _ in range(iters):
+            x = fn(x)
+        return x
 
     r = chain(x)
     float(jnp.sum(r[..., ::257, :]))  # compile + force through the relay
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         r = chain(x)
         float(jnp.sum(r[..., ::257, :]))
