@@ -113,18 +113,28 @@ def random_variables(model, img, labels, seed=0):
     return make(jax.random.PRNGKey(seed))
 
 
-def calibrate_logit_scale(ctx, threshold, conf, target=TARGET_SKIP_RATE):
+def calibrate_logit_scale(ctx, threshold, conf, target=TARGET_SKIP_RATE,
+                          boxes=None, crop=None):
     """Pick the decode-head logit scale whose windows skip at ~target rate.
     Exact because lr logits are linear in the conv_seg params. Random-weight
     logit margins can be arbitrarily small (bf16), so the scale is found by
-    geometric expansion + bisection on the measured rate (monotone in s)."""
+    geometric expansion + bisection on the measured rate (monotone in s).
+
+    ctx: [N, h, w, C] per-window logits, or — with `boxes`/`crop` given —
+    the [B, H, W, C] full-resolution stage-1 map (the compact engine's
+    sparse-delta formulation no longer materializes window crops)."""
+    from vfmseg_tpu.eval.compact import window_confidence
 
     @jax.jit
     def rate_fn(ctx, s):
-        probs = jax.nn.softmax(ctx.astype(jnp.float32) * s, axis=-1)
-        win_conf = jnp.mean(
-            (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32),
-            axis=(1, 2))
+        scaled = ctx.astype(jnp.float32) * s
+        if boxes is not None:
+            win_conf = window_confidence(scaled, boxes, crop, threshold)
+        else:
+            probs = jax.nn.softmax(scaled, axis=-1)
+            win_conf = jnp.mean(
+                (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32),
+                axis=(1, 2))
         return jnp.mean((win_conf >= conf).astype(jnp.float32))
 
     def rate(s):
@@ -197,8 +207,8 @@ def main():
                     help="stage-1 batch (compact mode)")
     ap.add_argument("--depth", type=int, default=3,
                     help="stream pipeline depth (groups in flight; each "
-                         "holds a ~1.4 GB bf16 ctx buffer at bs8 1024x2048; "
-                         "3 measured best on v5e)")
+                         "holds a ~0.6 GB bf16 full-map buffer at bs8 "
+                         "1024x2048; 3 measured best on v5e)")
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048),
                     help="benchmark image size (Cityscapes protocol)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
@@ -417,7 +427,8 @@ def main():
         # (run stage-1 at the SAME grouped batch the stream uses, so the
         # expensive ViT-L stage-1 compile happens exactly once)
         img_cal = jnp.stack(images[:args.group])
-        ctx, _c = compact._stage1(variables, img_cal, (h, w))
+        full_cal, _c = compact._stage1(variables, img_cal, (h, w))
+        cal_boxes = compute_slide_grid((h, w), crop, stride)
 
         # the analytic rate (softmax of ctx*s in fp32) disagrees with the
         # SCALED model, whose bf16-rounded conv_seg weights flip
@@ -429,7 +440,8 @@ def main():
             _c2, conf2 = compact._stage1(v2, img_cal, (h, w))
             return float(jnp.mean((conf2 >= conf).astype(jnp.float32)))
 
-        s_seed, _ = calibrate_logit_scale(ctx, threshold, conf)
+        s_seed, _ = calibrate_logit_scale(full_cal, threshold, conf,
+                                          boxes=cal_boxes, crop=crop)
 
         def calibrate_to(target):
             lo, hi = s_seed / 8.0, s_seed * 8.0

@@ -10,8 +10,21 @@ Host-orchestrated two-phase design (SURVEY §5.7 "two-pass gather"):
   phase 1 (jit): stage-1 whole pass + per-window confidences (tiny readback)
   phase 2 (jit): gather the windows needing refinement, pad the batch to a
     bucket size (bounded retraces: one compiled graph per bucket), refine,
-    scatter-add together with the reused contexts.
+    blend the refinement deltas back over the stage-1 map.
 Outputs are identical to the dense path (the same select semantics).
+
+Sparse-delta formulation: the overlap-average of all-unrefined windows IS
+the stage-1 full-resolution map (each covering window contributes the same
+full-map crop), so the output decomposes as
+
+    out = full + coverage^-1 * scatter_sum(refined_w - full|box_w)
+
+over REFINED windows only. Stage 1 therefore never materializes the
+[G*B, ch, cw, C] window batch (1.4 GB at bs8 1024x2048) the old engine
+extracted, softmaxed, carried through the pipeline, and overlap-averaged —
+it keeps one [B, H, W, C] map (0.6 GB) and computes window confidences as
+box means of the full-map confident-pixel mask (the same pixels, and the
+mask is 0/1 so the fp32 box sums are exact regardless of reduction order).
 """
 
 from __future__ import annotations
@@ -22,11 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid, extract_crops
+from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid
 from vfmseg_tpu.ops.resize import resize
 
-DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 64, 96,
-                   128, 160)
+DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44, 48,
+                   56, 64, 80, 96, 128, 160)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -37,6 +50,38 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     # to a 32-multiple so every needed window is still refined — silently
     # truncating would break the identical-to-dense-path contract
     return -(-n // 32) * 32
+
+
+def window_confidence(full: jax.Array, boxes, crop: Tuple[int, int],
+                      threshold: float) -> jax.Array:
+    """Per-window confident-pixel fraction from the full-res logit map.
+
+    Identical numbers to softmaxing extracted window crops (the reference
+    gate, Ms_VFM_encoder_decoder.py:446-452): each window's pixels ARE a box
+    of the full map, the confident mask is 0/1 so its fp32 box sum is exact,
+    and the divisor is the same pixel count. Returns [G*B] box-major
+    (window w -> box w // B, image w % B), matching extract_crops order.
+    """
+    ch, cw = crop
+    probs = jax.nn.softmax(full.astype(jnp.float32), axis=-1)
+    mask = (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32)
+    per_box = [
+        jnp.mean(mask[:, y1:y1 + ch, x1:x1 + cw], axis=(1, 2))
+        for (y1, x1) in boxes
+    ]
+    return jnp.concatenate(per_box, axis=0)
+
+
+def _gather_windows(x: jax.Array, img_idx: jax.Array, ys: jax.Array,
+                    xs: jax.Array, crop: Tuple[int, int]) -> jax.Array:
+    """[B,H,W,C], per-window (image, y1, x1) -> [K, ch, cw, C]."""
+    ch, cw = crop
+
+    def one(i, y, xx):
+        return jax.lax.dynamic_slice(
+            x, (i, y, xx, 0), (1, ch, cw, x.shape[3]))[0]
+
+    return jax.vmap(one)(img_idx, ys, xs)
 
 
 class CompactMsSlide:
@@ -94,45 +139,52 @@ class CompactMsSlide:
         full = resize(full, size=img_hw, method="bilinear",
                       align_corners=self.align_corners)
         boxes = compute_slide_grid(img_hw, self.crop, self.stride)
-        ctx = extract_crops(full, boxes, self.crop)
-        if self._crop_sharding is not None:
-            ctx = jax.lax.with_sharding_constraint(ctx, self._crop_sharding)
-        probs = jax.nn.softmax(ctx.astype(jnp.float32), axis=-1)
-        confidence = jnp.mean(
-            (jnp.max(probs, axis=-1) > self.threshold).astype(jnp.float32),
-            axis=(1, 2))
-        # the full-res map is NOT returned: every pending stream group would
-        # otherwise pin a [B, H, W, C] buffer (~2.5 GB at bs8 1024x2048)
-        return ctx, confidence
+        confidence = window_confidence(full, boxes, self.crop, self.threshold)
+        return full, confidence
 
     def _finish_fn(self, k: int, img_hw: Tuple[int, int]) -> Callable:
         """One fused jit per (refine-bucket, image size): gather the k
-        low-confidence windows, refine, scatter back, overlap-average. A
+        low-confidence windows from the stage-1 map, refine, blend the
+        deltas back (sparse-delta decomposition, module docstring). A
         single dispatch per group — the eager tail would otherwise issue
         hundreds of small ops, which dominates on high-latency links."""
         key = (k, img_hw)
         if key not in self._refine:
             boxes = compute_slide_grid(img_hw, self.crop, self.stride)
+            ch, cw = self.crop
+            ys_tab = np.asarray([y for (y, _) in boxes], np.int32)
+            xs_tab = np.asarray([x for (_, x) in boxes], np.int32)
 
-            def fn(variables, img, ctx, idx_valid):
-                if k > 0:
-                    idx, valid = idx_valid[:k], idx_valid[k:] > 0
-                    img_crops = extract_crops(img, boxes, self.crop)
-                    g_img = jnp.take(img_crops, idx, axis=0)
-                    g_ctx = jnp.take(ctx, idx, axis=0)
-                    if self._crop_sharding is not None:
-                        g_img = jax.lax.with_sharding_constraint(
-                            g_img, self._crop_sharding)
-                        g_ctx = jax.lax.with_sharding_constraint(
-                            g_ctx, self._crop_sharding)
-                    refined = self.hr_fn(variables, g_img, g_ctx).astype(
-                        ctx.dtype)
-                    # scatter-by-add: padded rows carry a zero delta, so
-                    # duplicate pad indices cannot clobber real refinements
-                    delta = jnp.where(valid[:, None, None, None],
-                                      refined - g_ctx, 0.0).astype(ctx.dtype)
-                    ctx = ctx.at[idx].add(delta)
-                return accumulate_crops(ctx, boxes, img_hw)
+            def fn(variables, img, full, idx_valid):
+                base = full.astype(jnp.float32)
+                if k == 0:
+                    return base
+                b = img.shape[0]
+                g = len(boxes)
+                idx, valid = idx_valid[:k], idx_valid[k:] > 0
+                img_i = idx % b
+                box_j = idx // b
+                ys = jnp.asarray(ys_tab)[box_j]
+                xs = jnp.asarray(xs_tab)[box_j]
+                g_img = _gather_windows(img, img_i, ys, xs, self.crop)
+                g_ctx = _gather_windows(full, img_i, ys, xs, self.crop)
+                if self._crop_sharding is not None:
+                    g_img = jax.lax.with_sharding_constraint(
+                        g_img, self._crop_sharding)
+                    g_ctx = jax.lax.with_sharding_constraint(
+                        g_ctx, self._crop_sharding)
+                refined = self.hr_fn(variables, g_img, g_ctx).astype(
+                    full.dtype)
+                # padded rows carry a zero delta, so duplicate pad indices
+                # cannot clobber real refinements
+                delta = jnp.where(valid[:, None, None, None],
+                                  refined - g_ctx, 0.0).astype(full.dtype)
+                # sparse rows -> [G*B] window layout; accumulate_crops then
+                # yields exactly the coverage^-1-weighted delta sum
+                sparse = jnp.zeros((g * b, ch, cw, full.shape[3]),
+                                   full.dtype)
+                sparse = sparse.at[idx].add(delta, mode="drop")
+                return base + accumulate_crops(sparse, boxes, img_hw)
 
             self._refine[key] = jax.jit(fn)
         return self._refine[key]
@@ -140,11 +192,11 @@ class CompactMsSlide:
     def __call__(self, variables, img: jax.Array) -> jax.Array:
         """img: [B, H, W, 3] -> (seg logits [B, H, W, C], n_refined)."""
         h, w = img.shape[1], img.shape[2]
-        ctx, confidence = self._stage1(variables, img, (h, w))
+        full, confidence = self._stage1(variables, img, (h, w))
         conf_host = np.asarray(confidence)          # tiny readback
-        return self._finish(variables, img, ctx, conf_host)
+        return self._finish(variables, img, full, conf_host)
 
-    def _finish(self, variables, img, ctx, conf_host, real=None):
+    def _finish(self, variables, img, full, conf_host, real=None):
         h, w = img.shape[1], img.shape[2]
         g = img.shape[0]
         if real is not None and real < g:
@@ -167,7 +219,7 @@ class CompactMsSlide:
         idx_valid[:len(need)] = need
         idx_valid[k:k + len(need)] = 1
         logits = self._finish_fn(k, (h, w))(
-            variables, img, ctx, jnp.asarray(idx_valid))
+            variables, img, full, jnp.asarray(idx_valid))
         return logits, len(need)
 
     def stream(self, variables, images, group: int = 4, depth: int = 2):
@@ -206,8 +258,8 @@ class CompactMsSlide:
 
         pending = deque()
 
-        def finish(img, ctx, confidence, real):
-            logits, _n = self._finish(variables, img, ctx,
+        def finish(img, full, confidence, real):
+            logits, _n = self._finish(variables, img, full,
                                       np.asarray(confidence), real=real)
             for i in range(real):
                 yield logits[i]
@@ -216,7 +268,7 @@ class CompactMsSlide:
             if self._img_sharding is not None:
                 img = jax.device_put(img, self._img_sharding)
             h, w = img.shape[1], img.shape[2]
-            ctx, confidence = self._stage1(variables, img, (h, w))
+            full, confidence = self._stage1(variables, img, (h, w))
             # start the tiny gate readback NOW so it rides along while later
             # groups dispatch — np.asarray at pop time then returns
             # immediately instead of paying the relay round-trip
@@ -224,7 +276,7 @@ class CompactMsSlide:
                 confidence.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append((img, ctx, confidence, real))
+            pending.append((img, full, confidence, real))
             if len(pending) > depth:
                 yield from finish(*pending.popleft())
         while pending:
