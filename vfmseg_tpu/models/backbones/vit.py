@@ -35,7 +35,7 @@ from vfmseg_tpu.models.backbones.adapters import (
 )
 from vfmseg_tpu.ops.attention import (
     multi_head_attention_headmajor,
-    multi_head_attention_qkv,
+    multi_head_attention_qkv_tm,
 )
 from vfmseg_tpu.ops.norm import LayerNorm
 from vfmseg_tpu.ops.resize import resize
@@ -193,9 +193,10 @@ class Attention(nn.Module):
                 and not cfg.use_rope:
             qkv = make_dense("qkv", 3 * dim, cfg.qkv_bias, self.lora,
                              cfg.dtype)(x, deterministic=deterministic)
-            out = multi_head_attention_qkv(
+            # token-major [B, N, E] output: attention feeds the proj matmul
+            # in its natural layout (no per-block transpose relayout)
+            out = multi_head_attention_qkv_tm(
                 qkv, cfg.num_heads, scale=cfg.qk_scale, impl=cfg.attn_impl)
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
             return make_dense("proj", dim, cfg.proj_bias, self.lora,
                               cfg.dtype)(out, deterministic=deterministic)
         if cfg.attn_type == "fused":

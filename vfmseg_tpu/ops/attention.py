@@ -190,6 +190,36 @@ def multi_head_attention_qkv(
     return out.transpose(0, 2, 1, 3)
 
 
+def multi_head_attention_qkv_tm(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """MHA off a fused qkv projection, returning token-major [B, N, H*D].
+
+    The ViT hot loop's preferred form: the Pallas primal stores attention
+    output in the proj matmul's natural layout, eliminating the per-block
+    transpose+reshape relayout the [B, H, N, D] contract forces."""
+    requested = impl
+    if impl == "auto":
+        impl = _default_impl()
+    if impl in ("pallas", "pallas_bias"):
+        if num_heads % 2 == 0:
+            from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+            return flash_attention_qkv_tm(qkv, num_heads, scale=scale)
+        if requested != "auto":
+            _warn_odd_heads_downgrade(num_heads)
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    qkv_r = qkv.reshape(b, n, 3, num_heads, d)
+    out = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2],
+                        scale=scale)
+    return out.reshape(b, n, num_heads * d)
+
+
 def multi_head_attention_headmajor(
     q: jax.Array,
     k: jax.Array,

@@ -643,13 +643,19 @@ _LOG2E = 1.4426950408889634
 
 
 def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
-                    head_dim: int, with_lse: bool = True):
+                    head_dim: int, with_lse: bool = True,
+                    token_major: bool = False):
     # two score-tile VPU savings over _fwd_kernel: scale (and log2 e) are
     # folded into q before the score matmul (d muls/row instead of bk), and
     # the softmax runs in exp2 space. When with_lse is False (the inference
     # primal — nobody reads the lse) the [bq, 1] lse store is skipped
     # entirely: sub-lane-width stores are the slowest part of this kernel
     # (~0.8 ms of a 3.3 ms call at refine shapes, measured on v5e).
+    # token_major (primal only): the two head halves are concatenated
+    # in-register and stored as ONE [bq, 128] lane-aligned tile of a
+    # [B, N, H*D] output — the proj matmul then consumes attention output
+    # with zero layout ops (the head-major form costs a transpose+reshape
+    # relayout pass per block, ~1 ms at refine shapes on v5e).
     if with_lse:
         q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     else:
@@ -663,6 +669,7 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
     # see _fwd_kernel: the inference primal folds l into the AV matmul via a
     # ones-column (no fp32 p store / row-sum / cast passes)
     fused_l = lse_ref is None
+    halves = []
     for hh in range(2):
         q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
              * (scale * _LOG2E)).astype(qp.dtype)
@@ -713,29 +720,46 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
         m, l, acc = carry
         if fused_l:
             safe_l = jnp.maximum(acc[:, head_dim:], 1e-37)
-            o_ref[0, 0, hh, :, :] = (acc[:, :head_dim] / safe_l).astype(
-                o_ref.dtype)
+            o_hh = (acc[:, :head_dim] / safe_l).astype(o_ref.dtype)
+            if token_major:
+                halves.append(o_hh)
+            else:
+                o_ref[0, 0, hh, :, :] = o_hh
             continue
         safe_l = jnp.maximum(l, 1e-37)
         o_ref[0, 0, hh, :, :] = (acc / safe_l).astype(o_ref.dtype)
         if lse_ref is not None:
             # natural-log lse (what the backward kernels recompute p from)
             lse_ref[0, 0, hh, :, :] = (m + jnp.log2(safe_l)) * (1.0 / _LOG2E)
+    if token_major:
+        o_ref[0, :, :] = jnp.concatenate(halves, axis=1)
 
 
 def _flash_forward_qkv(qkv, num_heads: int, scale: float,
-                       with_lse: bool = True):
-    """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1] or None)."""
+                       with_lse: bool = True, token_major: bool = False):
+    """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1] or None).
+
+    token_major (primal only): out is [B, N, H*D] — each grid cell's head
+    pair is one 128-lane tile of the feature axis, so the store is a single
+    aligned write and downstream matmuls consume it with no relayout."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
     block_q, block_k = _blocks(n, n)
     kvp = _round_up(n, block_k)
     grid = (b, h2, pl.cdiv(n, block_q))
-    o_spec = pl.BlockSpec((1, 1, 2, block_q, d),
-                          lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                          memory_space=pltpu.VMEM)
-    o_shape = jax.ShapeDtypeStruct((b, h2, 2, n, d), qkv.dtype)
+    if token_major:
+        if with_lse:
+            raise NotImplementedError("token_major is primal-only (no lse)")
+        o_spec = pl.BlockSpec((1, block_q, 2 * d),
+                              lambda bi, hi, qi: (bi, qi, hi),
+                              memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype)
+    else:
+        o_spec = pl.BlockSpec((1, 1, 2, block_q, d),
+                              lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                              memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((b, h2, 2, n, d), qkv.dtype)
     if with_lse:
         out_specs = (o_spec,
                      pl.BlockSpec((1, 1, 2, block_q, 1),
@@ -748,7 +772,8 @@ def _flash_forward_qkv(qkv, num_heads: int, scale: float,
         out_shape = o_shape
     res = pl.pallas_call(
         functools.partial(_fwd_kernel_qkv, scale=scale, kv_len=n,
-                          block_k=block_k, head_dim=d, with_lse=with_lse),
+                          block_k=block_k, head_dim=d, with_lse=with_lse,
+                          token_major=token_major),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 2 * d), lambda bi, hi, qi: (bi, qi, hi),
@@ -769,6 +794,8 @@ def _flash_forward_qkv(qkv, num_heads: int, scale: float,
         ),
     )(qkv, qkv, qkv)
     out, lse = res if with_lse else (res, None)
+    if token_major:
+        return out, None
     return (out.reshape(b, num_heads, n, d),
             lse.reshape(b, num_heads, n, 1) if with_lse else None)
 
@@ -803,6 +830,61 @@ def _flash_qkv_bwd_rule(num_heads: int, scale: float, res, g):
 
 
 _flash_qkv.defvjp(_flash_qkv_fwd_rule, _flash_qkv_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_qkv_tm(qkv, num_heads: int, scale: float):
+    # primal: token-major store — the proj matmul consumes [B, N, E]
+    # directly (zero relayouts); no lse.
+    out, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False,
+                                token_major=True)
+    return out
+
+
+def _flash_qkv_tm_fwd_rule(qkv, num_heads: int, scale: float):
+    # training fwd keeps the head-major kernel (the bwd consumes head-major
+    # lse/out anyway); one transpose pass to the [B, N, E] output contract
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    out_hm, lse = _flash_forward_qkv(qkv, num_heads, scale)
+    out = out_hm.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
+    return out, (qkv, lse, out_hm)
+
+
+def _flash_qkv_tm_bwd_rule(num_heads: int, scale: float, res, g):
+    qkv, lse, out_hm = res
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    g_hm = g.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+    qkv_r = qkv.reshape(b, n, 3, num_heads, d)
+    q = qkv_r[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv_r[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv_r[:, :, 2].transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_backward_hm(q, k, v, lse, out_hm, g_hm, scale,
+                                    exp2_scale_q=True)
+    dqkv = jnp.stack([dq, dk, dv], axis=1)            # [B, 3, H, N, D]
+    dqkv = dqkv.transpose(0, 3, 1, 2, 4).reshape(b, n, f)
+    return (dqkv,)
+
+
+_flash_qkv_tm.defvjp(_flash_qkv_tm_fwd_rule, _flash_qkv_tm_bwd_rule)
+
+
+def flash_attention_qkv_tm(qkv: jax.Array, num_heads: int, *,
+                           scale: Optional[float] = None) -> jax.Array:
+    """Like :func:`flash_attention_qkv` but returns token-major [B, N, H*D].
+
+    The inference primal stores each head pair as one 128-lane tile of the
+    feature axis, so attention output feeds the proj matmul with no
+    transpose/reshape relayout (measured ~1 ms/block at refine shapes)."""
+    if qkv.ndim != 3:
+        raise NotImplementedError("expects [B, N, 3*H*D]")
+    if num_heads % 2:
+        raise NotImplementedError("pair-of-heads cells need even num_heads")
+    d = qkv.shape[-1] // (3 * num_heads)
+    if scale is None:
+        scale = d ** -0.5
+    return _flash_qkv_tm(qkv, num_heads, float(scale))
 
 
 def flash_attention_qkv(qkv: jax.Array, num_heads: int, *,
