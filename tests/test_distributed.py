@@ -67,8 +67,10 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
             [sys.executable, worker, str(pid), str(nproc), str(port), out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     try:
+        # generous: two cold jax processes compile a full train step; under
+        # a loaded machine (parallel suite + bench) 420s has been exceeded
         for p in procs:
-            p.wait(timeout=420)
+            p.wait(timeout=900)
     finally:
         for p in procs:
             p.kill()

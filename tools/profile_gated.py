@@ -1,0 +1,216 @@
+"""Stage-level timing of the gated (compact) two-stage pipeline.
+
+Times each component of CompactMsSlide at the headline bench shapes
+(group=8 images of 1024x2048, refine bucket 28) by chaining ITERS
+applications inside one jit with a forced data dependency — per-call wall
+timing is meaningless on the async axon relay (~30 ms RTT).
+
+Prints one JSON line per component; use it to find where a stream group's
+time goes beyond the two ViT calls.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+os.environ.setdefault("VFMSEG_GELU_APPROX", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def time_chain(make_fn, iters, *args):
+    """make_fn(*args) -> scalar-ish; chains iters times inside one jit by
+    feeding a tiny function-output-dependent perturbation into the args."""
+
+    @jax.jit
+    def chain(args):
+        acc = jnp.float32(0.0)
+        for _ in range(iters):
+            out = make_fn(*args, acc)
+            acc = out
+        return acc
+
+    r = chain(args)
+    float(r)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(chain(args))
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--bucket", type=int, default=28)
+    ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048))
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from bench import random_variables
+    from vfmseg_tpu.core.config import load_config
+    from vfmseg_tpu.eval.compact import CompactMsSlide, window_confidence
+    from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid
+    from vfmseg_tpu.models.build import build_segmentor
+    from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
+    from vfmseg_tpu.ops.resize import resize
+
+    dtype = jnp.bfloat16
+    cfg = load_config("dg_lora_dinov2_ms_masked")
+    model = build_segmentor(cfg.model, dtype=dtype, attn_impl="auto")
+    test_cfg = cfg.test_cfg
+    crop = tuple(test_cfg.get("crop_size", (512, 512)))
+    stride = tuple(test_cfg.get("stride", (320, 320)))
+    lr_size = tuple(test_cfg.get("lr_img_size", (512, 1024)))
+    threshold = test_cfg.get("threshold", 0.968)
+
+    h, w = args.hw
+    g, k = args.group, args.bucket
+    ih, iw = tuple(cfg.get("crop_size", (1024, 1024)))
+    variables = random_variables(
+        model, jnp.zeros((1, ih, iw, 3), dtype),
+        jnp.zeros((1, ih, iw), jnp.int32))
+
+    boxes = compute_slide_grid((h, w), crop, stride)
+    nb = len(boxes)
+    ch, cw = crop
+    img = jax.random.normal(jax.random.PRNGKey(0), (g, h, w, 3), dtype)
+    lr_img = jax.random.normal(jax.random.PRNGKey(1),
+                               (g,) + lr_size + (3,), dtype)
+    full = jax.random.normal(jax.random.PRNGKey(2), (g, h, w, 19), dtype)
+    crops = jax.random.normal(jax.random.PRNGKey(3), (k, ch, cw, 3), dtype)
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (k, ch, cw, 19), dtype)
+
+    def feats_fn(v, x, train=False):
+        return model.apply(v, x, False, method=MsVFMSegmentor._feats)
+
+    rows = []
+
+    def report(tag, sec, note=""):
+        row = {"component": tag, "ms": round(sec * 1e3, 3), "note": note}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    def dep(x, acc):
+        return x + (acc * 1e-12).astype(x.dtype)
+
+    # ---- stage-1 pieces ------------------------------------------------
+    report("resize_in_1024x2048_to_512x1024", time_chain(
+        lambda im, acc: jnp.sum(resize(dep(im, acc), size=lr_size,
+                                       method="bilinear")[:, ::97, ::97]
+                                ).astype(jnp.float32),
+        args.iters, img))
+
+    report("backbone_lr_8x512x1024", time_chain(
+        lambda x, acc: jnp.sum(
+            feats_fn(variables, dep(x, acc))[-1][:, ::7, ::7, ::97]
+        ).astype(jnp.float32),
+        args.iters, lr_img))
+
+    report("lr_forward_full (backbone+head+resize512x1024)", time_chain(
+        lambda x, acc: jnp.sum(
+            model.apply(variables, dep(x, acc),
+                        method=MsVFMSegmentor.lr_forward)[:, ::97, ::97]
+        ).astype(jnp.float32),
+        args.iters, lr_img))
+
+    report("resize_logits_512x1024_to_1024x2048_c19", time_chain(
+        lambda x, acc: jnp.sum(resize(
+            dep(x, acc)[:, : lr_size[0], : lr_size[1], :], size=(h, w),
+            method="bilinear")[:, ::97, ::97]).astype(jnp.float32),
+        args.iters, full))
+
+    report("window_confidence_full_map", time_chain(
+        lambda f, acc: jnp.sum(window_confidence(
+            dep(f, acc), boxes, crop, threshold)).astype(jnp.float32),
+        args.iters, full))
+
+    # ---- refine pieces -------------------------------------------------
+    report(f"backbone_hr_{k}x512x512", time_chain(
+        lambda x, acc: jnp.sum(
+            feats_fn(variables, dep(x, acc))[-1][:, ::7, ::7, ::97]
+        ).astype(jnp.float32),
+        args.iters, crops))
+
+    report(f"hr_forward_full_{k} (backbone+vfmhead+resize)", time_chain(
+        lambda x, c, acc: jnp.sum(
+            model.apply(variables, dep(x, acc), c, False, False,
+                        method=MsVFMSegmentor.hr_forward)[:, ::97, ::97]
+        ).astype(jnp.float32),
+        args.iters, crops, ctx))
+
+    # ---- finish pieces -------------------------------------------------
+    idx = jnp.arange(k, dtype=jnp.int32)
+
+    def gather_fn(f, acc):
+        from vfmseg_tpu.eval.compact import _gather_windows
+        ys = jnp.asarray([boxes[i % nb][0] for i in range(k)], jnp.int32)
+        xs = jnp.asarray([boxes[i % nb][1] for i in range(k)], jnp.int32)
+        gi = idx % g
+        out = _gather_windows(dep(f, acc), gi, ys, xs, crop)
+        return jnp.sum(out[:, ::97, ::97]).astype(jnp.float32)
+
+    report(f"gather_windows_{k}_from_full", time_chain(
+        gather_fn, args.iters, full))
+
+    delta = jax.random.normal(jax.random.PRNGKey(5), (k, ch, cw, 19), dtype)
+
+    def scatter_fn(d, acc):
+        sparse = jnp.zeros((nb * g, ch, cw, 19), d.dtype)
+        sparse = sparse.at[idx].add(dep(d, acc), mode="drop")
+        out = accumulate_crops(sparse, boxes, (h, w))
+        return jnp.sum(out[:, ::97, ::97]).astype(jnp.float32)
+
+    report(f"sparse_scatter+accumulate_{k}", time_chain(
+        scatter_fn, args.iters, delta))
+
+    def base_add_fn(f, acc):
+        base = dep(f, acc).astype(jnp.float32)
+        return jnp.sum(base[:, ::97, ::97]).astype(jnp.float32)
+
+    report("base_cast_fp32", time_chain(base_add_fn, args.iters, full))
+
+    # ---- whole phases as the engine runs them ---------------------------
+    engine = CompactMsSlide(
+        lambda v, x: model.apply(v, x, method=MsVFMSegmentor.lr_forward),
+        lambda v, c, t: model.apply(v, c, t, False, False,
+                                    method=MsVFMSegmentor.hr_forward),
+        crop=crop, stride=stride, lr_size=lr_size,
+        threshold=threshold, conf=test_cfg.get("conf", 0.8))
+
+    def stage1_fn(im, acc):
+        f, conf = engine._stage1_impl(variables, dep(im, acc), (h, w))
+        return (jnp.sum(f[:, ::257, ::257]) + jnp.sum(conf)).astype(
+            jnp.float32)
+
+    report("stage1_impl_total", time_chain(stage1_fn, args.iters, img))
+
+    fin = engine._finish_fn(k, (h, w))
+    idx_valid = np.zeros(2 * k, np.int32)
+    idx_valid[:k] = np.arange(k) % (nb * g)
+    idx_valid[k:] = 1
+    iv = jnp.asarray(idx_valid)
+
+    def finish_fn(im, f, acc):
+        out = fin.__wrapped__(variables, dep(im, acc), f, iv)
+        return jnp.sum(out[:, ::257, ::257]).astype(jnp.float32)
+
+    report(f"finish_total_k{k}", time_chain(finish_fn, args.iters, img, full))
+
+    with open("/tmp/profile_gated.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,23 +134,37 @@ def _sample_pallas_xy(value: jax.Array, xn: jax.Array, yn: jax.Array,
     def kernel(y_ref, x_ref, v_ref, o_ref, *, h, w, c):
         yv = y_ref[0]                              # [Tn, 1] fp32
         xv = x_ref[0]
-        v = v_ref[0].reshape(h, w * c)             # free minor-dim collapse
+        v = v_ref[0]                               # [h, w*c] (host-collapsed:
+        # Mosaic rejects in-kernel [h,w,c]->[h,w*c] shape casts on hardware)
         lo_y = jnp.floor(yv)
         fy = yv - lo_y
-        ids_h = jax.lax.broadcasted_iota(jnp.float32, (yv.shape[0], h), 1)
-        ry = (jnp.where(ids_h == lo_y, 1.0 - fy, 0.0)
-              + jnp.where(ids_h == lo_y + 1.0, fy, 0.0))
+        # Mosaic requires integer iota (f32 iota fails TPU verification);
+        # compare in int32 — floor values are exact small integers (padded
+        # coords at -1e6 stay in int32 range)
+        lo_yi = lo_y.astype(jnp.int32)
+        ids_h = jax.lax.broadcasted_iota(jnp.int32, (yv.shape[0], h), 1)
+        ry = (jnp.where(ids_h == lo_yi, 1.0 - fy, 0.0)
+              + jnp.where(ids_h == lo_yi + 1, fy, 0.0))
         t = jax.lax.dot_general(
             ry.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # [Tn, w*c]
         lo_x = jnp.floor(xv)
         fx = xv - lo_x
-        lane_w = (jax.lax.broadcasted_iota(
-            jnp.int32, (yv.shape[0], w * c), 1) // c).astype(jnp.float32)
-        cxw = (jnp.where(lane_w == lo_x, 1.0 - fx, 0.0)
-               + jnp.where(lane_w == lo_x + 1.0, fx, 0.0))
-        prod = (t * cxw).reshape(yv.shape[0], w, c)
-        o_ref[0] = jnp.sum(prod, axis=1).astype(o_ref.dtype)
+        lo_xi = lo_x.astype(jnp.int32)
+        lane_w = jax.lax.broadcasted_iota(
+            jnp.int32, (yv.shape[0], w * c), 1) // c
+        cxw = (jnp.where(lane_w == lo_xi, 1.0 - fx, 0.0)
+               + jnp.where(lane_w == lo_xi + 1, fx, 0.0))
+        prod = t * cxw                             # [Tn, w*c]
+        # sum over the w groups of c lanes as a one-hot MXU matmul
+        # ([Tn,w,c] reshape + axis-1 reduce is another unsupported cast;
+        # sub-lane 32-wide strided slices would crawl on the VPU)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
+        agg = (rows % c == cols).astype(prod.dtype)
+        o_ref[0] = jax.lax.dot_general(
+            prod, agg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
     out = pl.pallas_call(
         functools.partial(kernel, h=h, w=w, c=c),
@@ -160,7 +174,7 @@ def _sample_pallas_xy(value: jax.Array, xn: jax.Array, yn: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, 1), lambda bi, ni: (bi, ni, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, c), lambda bi, ni: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h, w * c), lambda bi, ni: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_n, c), lambda bi, ni: (bi, ni, 0),
@@ -171,7 +185,7 @@ def _sample_pallas_xy(value: jax.Array, xn: jax.Array, yn: jax.Array,
             bytes_accessed=(value.size + b * n_pad * c) * value.dtype.itemsize,
             transcendentals=0,
         ),
-    )(y, x, value)
+    )(y, x, value.reshape(b, h, w * c))
     return out[:, :n]
 
 
