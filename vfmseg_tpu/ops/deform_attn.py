@@ -213,7 +213,15 @@ def _sample_impl_xy():
     import os
 
     if jax.default_backend() == "tpu":
-        impl = os.environ.get("VFMSEG_DEFORM_IMPL", "pallas")
+        # measured on v5e (Rein-DINOv2+Mask2Former 1024x2048 slide eval):
+        # matmul 2.9 img/s, pallas VMEM-fused 1.5 img/s. The fused kernel
+        # eliminates the [B*heads, P*Nq, W, d] HBM intermediate but pays for
+        # it in per-query one-hot builds on the VPU (~6 passes over
+        # [block, W*d] per cell across ~24k cells/level/layer) — building a
+        # one-hot costs the same element count as the matmul it feeds, and
+        # the VPU is ~20x slower than the MXU. matmul stays the default;
+        # pallas remains opt-in for memory-constrained shapes.
+        impl = os.environ.get("VFMSEG_DEFORM_IMPL", "matmul")
         return {"pallas": _sample_pallas,
                 "matmul": _sample_matmul_xy,
                 "gather": _sample_nhwc_xy}[impl]
