@@ -436,3 +436,26 @@ class TestFlashQKVDirect:
         g2 = jax.grad(f_xla)(qkv)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_qkv_primal_no_max_large_logits(self):
+        """The inference primal drops the softmax running max (flash kernel
+        no_max path) — verify it stays finite and XLA-exact at attention
+        logit magnitudes well past anything a trained ViT produces
+        (|logit| ~ 60 natural; DINOv2-L peaks around 30-50)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+        b, n, h, d = 1, 130, 2, 16
+        qkv = _rand(72, (b, n, 3 * h * d))
+        # scale q/k so logits reach ~±60: |q.k| ~ sqrt(d)*s^2 = 60
+        s = (60.0 / (d ** 0.5)) ** 0.5
+        qkv = qkv.at[..., : 2 * h * d].mul(s)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qkv_tm(qkv, h)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        qkv_r = qkv.reshape(b, n, 3, h, d)
+        ref = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2])
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.reshape(b, n, h * d)),
+                                   rtol=2e-4, atol=2e-4)

@@ -37,26 +37,48 @@ SHAPES = {
     "stage1": (8, 2049, 16, 64),
 }
 
+# SAM-H windowed block at 512^2 eval: 32x32 patch grid -> 9 windows of
+# 14x14=196 tokens per crop, batch 28 crops -> B'=252, 16 heads, d=80
+SAM_WINDOW = (252, 196, 16, 80, 14, 14)
+
+
+_RTT = None
+
+
+def measure_rtt() -> float:
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            float(f(x))
+            samples.append(time.time() - t0)
+        _RTT = min(samples)
+    return _RTT
+
 
 def time_chain(fn, x, iters):
-    """fn: x -> x-like. Chains iters applications UNROLLED inside one jit
-    (lax loops carry ~1-3 ms/iteration overhead on the axon backend, which
-    swamps ms-scale kernels), returns sec/iter."""
+    """fn: x -> x-like. Compiles ONE copy and dispatches it `iters` times
+    back-to-back — a single TPU core executes launches in order, so the
+    calls pipeline and only the last is blocked on (unrolled-in-one-jit
+    chains compiled for tens of minutes on Mosaic kernels). The relay
+    round-trip is measured separately and subtracted; returns sec/iter."""
 
-    @jax.jit
-    def chain(x):
-        for _ in range(iters):
-            x = fn(x)
-        return x
-
-    r = chain(x)
+    jfn = jax.jit(fn)
+    r = jfn(x)
     float(jnp.sum(r[..., ::257, :]))  # compile + force through the relay
+    rtt = measure_rtt()
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        r = chain(x)
+        r = x
+        for _ in range(iters):
+            r = jfn(r)
         float(jnp.sum(r[..., ::257, :]))
-        best = min(best, (time.time() - t0) / iters)
+        best = min(best, max(time.time() - t0 - rtt, 1e-9) / iters)
     return best
 
 
@@ -83,6 +105,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     for name in args.shapes:
+        if name not in SHAPES:
+            continue
         b, n, h, d = SHAPES[name]
         e = h * d
         fl = 4 * b * h * n * n * d
@@ -143,6 +167,70 @@ def main():
         for var in ("VFMSEG_FLASH_BLOCK", "VFMSEG_FLASH_BLOCK_Q",
                     "VFMSEG_FLASH_BLOCK_K"):
             os.environ.pop(var, None)
+
+        # --- stock JAX TPU flash kernel (jax.experimental.pallas.ops) ---
+        # calibration point: what the upstream hand-tuned kernel sustains
+        # at the pipeline's exact shapes
+        try:
+            from jax.experimental.pallas.ops.tpu import flash_attention as sfa
+
+            def stock_fn(z):
+                zr = z.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+                o = sfa.flash_attention(zr[0], zr[1], zr[2],
+                                        sm_scale=d ** -0.5)
+                return glue(z, o)
+
+            dt = time_chain(stock_fn, qkv, args.iters)
+            report("stock_flash_attention", name, max(dt - t_base, 1e-9), fl)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"kernel": "stock_flash_attention",
+                              "shape": name, "error": str(exc)[:200]}),
+                  flush=True)
+
+        # --- token-major inference primal ------------------------------
+        def tm_fn(z):
+            o = fa.flash_attention_qkv_tm(z, h)  # [B, N, E]
+            return jnp.concatenate([o, z[..., e:]], axis=-1)
+
+        try:
+            dt = time_chain(tm_fn, qkv, args.iters)
+            report("flash_qkv_token_major", name, dt, fl)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"kernel": "flash_qkv_token_major",
+                              "shape": name, "error": str(exc)[:200]}),
+                  flush=True)
+
+    # ---- SAM windowed rel-pos attention (the 1.7 img/s family) ---------
+    if "sam_window" in args.shapes or not args.shapes:
+        bw, n, h, d, kh, kw = SAM_WINDOW
+        fl = 4 * bw * h * n * n * d
+        key = jax.random.PRNGKey(1)
+        qs = jax.random.normal(key, (bw, h, n, d), dtype) * 0.5
+        rel = jax.random.normal(key, (bw, h, n, kh), dtype) * 0.1
+
+        from vfmseg_tpu.ops.attention import xla_attention_decomposed_hm
+
+        def rp_glue(q, o):
+            return jnp.concatenate([o[..., :1], q[..., 1:]], axis=-1)
+
+        t_base = time_chain(lambda q: rp_glue(q, q), qs, args.iters)
+
+        def rp_flash(q):
+            o = fa.flash_attention_relpos_hm(q, q, q, rel, rel)
+            return rp_glue(q, o)
+
+        def rp_xla(q):
+            o = xla_attention_decomposed_hm(q, q, q, rel, rel)
+            return rp_glue(q, o)
+
+        for tag, fn in (("sam_relpos_flash", rp_flash),
+                        ("sam_relpos_xla", rp_xla)):
+            try:
+                dt = time_chain(fn, qs, args.iters)
+                report(tag, "sam_window", max(dt - t_base, 1e-9), fl)
+            except Exception as exc:  # noqa: BLE001
+                print(json.dumps({"kernel": tag, "shape": "sam_window",
+                                  "error": str(exc)[:200]}), flush=True)
 
     with open("/tmp/kernel_bench.json", "w") as f:
         json.dump(results, f, indent=1)

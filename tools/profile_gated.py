@@ -28,25 +28,48 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+_RTT = None
+
+
+def measure_rtt() -> float:
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        _RTT = min(_rtt_once(f, x) for _ in range(3))
+    return _RTT
+
+
+def _rtt_once(f, x):
+    t0 = time.time()
+    float(f(x))
+    return time.time() - t0
+
+
 def time_chain(make_fn, iters, *args):
-    """make_fn(*args) -> scalar-ish; chains iters times inside one jit by
-    feeding a tiny function-output-dependent perturbation into the args."""
+    """make_fn(*args) -> scalar-ish; compiles ONE copy and dispatches it
+    `iters` times back-to-back — a single TPU core executes launches in
+    dispatch order, so the calls pipeline and only the last is blocked on.
+    (Unrolling copies inside one jit compiled for 30+ minutes on ViT-L
+    components.) The relay round-trip (~30-60 ms) is measured separately
+    and subtracted — at ms-scale components it would otherwise dominate."""
 
     @jax.jit
-    def chain(args):
-        acc = jnp.float32(0.0)
-        for _ in range(iters):
-            out = make_fn(*args, acc)
-            acc = out
-        return acc
+    def one(args, acc):
+        return make_fn(*args, acc)
 
-    r = chain(args)
-    float(r)
+    acc = jnp.float32(0.0)
+    float(one(args, acc))
+    rtt = measure_rtt()
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        float(chain(args))
-        best = min(best, (time.time() - t0) / iters)
+        r = acc
+        for _ in range(iters):
+            r = one(args, r)
+        float(r)
+        best = min(best, max(time.time() - t0 - rtt, 1e-9) / iters)
     return best
 
 
@@ -55,7 +78,8 @@ def main():
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--bucket", type=int, default=28)
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048))
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8,
+                    help="pipelined dispatch count per measurement")
     args = ap.parse_args()
 
     from bench import random_variables

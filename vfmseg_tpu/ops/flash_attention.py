@@ -16,6 +16,7 @@ saved LSE so no [N, N] tensor ever materializes in HBM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -84,6 +85,13 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
     # bf16 output quantization. Measured ~28 -> ~16 bytes of VMEM traffic
     # per score element.
     fused_l = lse_ref is None
+    # inference primal: no-max exp2 softmax (see _fwd_kernel_qkv) — the
+    # row-max reduction pass and the acc rescale are pure VPU overhead at
+    # fp32's >2^40 exponent headroom over trained attention logits. All the
+    # elementwise score ops (scale, +bias, *log2e) fuse into the one
+    # pre-exp2 sweep; only the max pass and corr multiply disappear.
+    no_max = fused_l and os.environ.get(
+        "VFMSEG_FLASH_SAFE_SOFTMAX", "0") != "1"
 
     m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
@@ -110,6 +118,15 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
         if masked:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
+        if no_max:
+            p = jnp.exp2(s * _LOG2E)
+            v_aug = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+            acc_new = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m, l, acc_new
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -148,8 +165,6 @@ def _fwd_kernel(*refs, scale: float, kv_len: int, block_k: int,
 
 
 def _blocks(nq: int, nk: int, has_bias: bool = False):
-    import os
-
     # an explicit env override wins over the single-block heuristic (else
     # block-size sweeps below _SINGLE_BLOCK_MAX tokens would silently
     # measure identical kernels)
@@ -669,6 +684,20 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
     # see _fwd_kernel: the inference primal folds l into the AV matmul via a
     # ones-column (no fp32 p store / row-sum / cast passes)
     fused_l = lse_ref is None
+    # Inference primal only: drop the running max ENTIRELY and take
+    # p = exp2(s) raw. This kernel is VPU-bound at head_dim 64 (the K=64 /
+    # N<=65 matmuls pad MXU tiles 2x, so ~4 VPU passes per score element set
+    # the 35-41 TF/s ceiling) — removing the row-max pass and the
+    # online-rescale carry cuts the softmax to one fused exp2+cast pass.
+    # Safety: exp2 args are scale*log2(e)*q.k <= ~1.44*|logit|; fp32
+    # overflows at exp2(128), and l (the ones-column sum of <=2176 terms)
+    # at exp2(~116) — trained ViT attention logits peak around 30-50
+    # natural (~43-72 in exp2 space), a >2^40 margin. Masked tail columns
+    # keep s = -inf, so exp2(s) = 0 exactly as before. The with_lse
+    # training path keeps the exact online softmax; set
+    # VFMSEG_FLASH_SAFE_SOFTMAX=1 to restore it for the primal too.
+    no_max = fused_l and os.environ.get(
+        "VFMSEG_FLASH_SAFE_SOFTMAX", "0") != "1"
     halves = []
     for hh in range(2):
         q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
@@ -692,6 +721,14 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
                 col = j * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1)
                 s = jnp.where(col < kv_len, s, _NEG_INF)
+            if no_max:
+                p = jnp.exp2(s)
+                v_aug = jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+                acc_new = acc + jax.lax.dot_general(
+                    p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return m, l, acc_new
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             corr = jnp.exp2(m - m_new)
@@ -953,9 +990,15 @@ def flash_attention_headmajor(
 
 def _fwd_kernel_relpos(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                        scale: float, kv_len: int, block_k: int, w: int):
+    # primal-only kernel: no-max exp2 softmax (see _fwd_kernel_qkv — the
+    # row-max pass and rescale carry are the VPU bottleneck; fp32 exp2 has
+    # >2^40 headroom over trained attention-logit magnitudes). The rel-pos
+    # terms are folded into log2 space alongside the score scale.
+    no_max = os.environ.get("VFMSEG_FLASH_SAFE_SOFTMAX", "0") != "1"
     q = q_ref[0, 0, :, :]
-    rh = rh_ref[0, 0, :, :]              # [bq, h]
-    rw = rw_ref[0, 0, :, :]              # [bq, w]
+    lg = _LOG2E if no_max else 1.0
+    rh = rh_ref[0, 0, :, :] * lg         # [bq, h] (tiny VPU tile)
+    rw = rw_ref[0, 0, :, :] * lg         # [bq, w]
     h = rh.shape[1]
     block_q, d = q.shape
     kv_pad = k_ref.shape[2]
@@ -973,7 +1016,7 @@ def _fwd_kernel_relpos(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
             v = jnp.where(kv_row < kv_len, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * lg)
         # separable bias tile: one-hot selectors for this block's columns
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (h, block_k), 1)
@@ -993,12 +1036,18 @@ def _fwd_kernel_relpos(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
             cmask = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1)
             s = jnp.where(cmask < kv_len, s, _NEG_INF)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+        if no_max:
+            p = jnp.exp2(s)
+            acc_new = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m, acc_new
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
-        # primal-only kernel: l rides the AV matmul (see _fwd_kernel fused_l)
-        v_aug = jnp.concatenate(
-            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+        # l rides the AV matmul (see _fwd_kernel fused_l)
         acc_new = acc * corr + jax.lax.dot_general(
             p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
