@@ -425,9 +425,14 @@ def main():
 
         # --- calibrate the gate to a trained-model-like skip rate --------
         # (run stage-1 at the SAME grouped batch the stream uses, so the
-        # expensive ViT-L stage-1 compile happens exactly once)
-        img_cal = jnp.stack(images[:args.group])
-        full_cal, _c = compact._stage1(variables, img_cal, (h, w))
+        # expensive ViT-L stage-1 compile happens exactly once). Calibrate
+        # over several groups: a single group's ~144 windows quantize the
+        # measurable rate to ~0.7% steps and sample only 1/3 of the run's
+        # images, which put +-0.04 of run-to-run noise on the headline.
+        n_cal = min(3 * args.group, len(images))
+        img_cals = [jnp.stack(images[i:i + args.group])
+                    for i in range(0, n_cal, args.group)]
+        full_cal, _c = compact._stage1(variables, img_cals[0], (h, w))
         cal_boxes = compute_slide_grid((h, w), crop, stride)
 
         # the analytic rate (softmax of ctx*s in fp32) disagrees with the
@@ -437,8 +442,11 @@ def main():
         # logit scale directly on the scaled model's MEASURED skip rate.
         def measured_rate(s):
             v2 = scale_decode_head(variables, s)
-            _c2, conf2 = compact._stage1(v2, img_cal, (h, w))
-            return float(jnp.mean((conf2 >= conf).astype(jnp.float32)))
+            rs = []
+            for ic in img_cals:
+                _c2, conf2 = compact._stage1(v2, ic, (h, w))
+                rs.append(jnp.mean((conf2 >= conf).astype(jnp.float32)))
+            return float(sum(float(r) for r in rs) / len(rs))
 
         s_seed, _ = calibrate_logit_scale(full_cal, threshold, conf,
                                           boxes=cal_boxes, crop=crop)
@@ -455,7 +463,7 @@ def main():
                 r = measured_rate(mid)
                 if abs(r - target) < abs(best_r - target):
                     best_s, best_r = mid, r
-                if abs(r - target) <= 0.02:
+                if abs(r - target) <= 0.005:
                     break
                 if r < target:
                     lo = mid

@@ -68,12 +68,35 @@ class TestPixelDecoderAndHead:
         feats = _tiny_feats()
         queries = jax.random.normal(K(9), (10, 32))
         variables = head.init(K(0), feats, queries)
-        cls_preds, mask_preds = head.apply(variables, feats, queries)
+        cls_preds, mask_preds = head.apply(variables, feats, queries,
+                                           train=True)
         assert len(cls_preds) == 4  # initial + 3 layers
         assert cls_preds[0].shape == (1, 10, 6)
         assert mask_preds[0].shape == (1, 10, 16, 16)
         sem = semantic_inference(cls_preds[-1], mask_preds[-1], 5)
         assert sem.shape == (1, 16, 16, 5)
+
+    def test_head_eval_matches_train_final_stage(self):
+        """The eval path forms attention masks at level resolution via the
+        resize/einsum commutation and returns only the final stage; its
+        outputs must match the train path's final stage (identical weights,
+        fp-rounding-level tolerance — only sigmoid~0.5 borderline attention
+        pixels could differ, none at this seed)."""
+        head = Mask2FormerHead(num_classes=5, num_queries=10, feat_channels=32,
+                               num_decoder_layers=3, rein_queries=True,
+                               replace_query_feat=True)
+        feats = _tiny_feats()
+        queries = jax.random.normal(K(9), (10, 32))
+        variables = head.init(K(0), feats, queries)
+        cls_tr, mask_tr = head.apply(variables, feats, queries, train=True)
+        cls_ev, mask_ev = head.apply(variables, feats, queries, train=False)
+        assert len(cls_ev) == 1 and len(mask_ev) == 1
+        np.testing.assert_allclose(np.asarray(cls_ev[-1]),
+                                   np.asarray(cls_tr[-1]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mask_ev[-1]),
+                                   np.asarray(mask_tr[-1]),
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestMatchingAndLoss:

@@ -60,7 +60,18 @@ def time_chain(make_fn, iters, *args):
         return make_fn(*args, acc)
 
     acc = jnp.float32(0.0)
-    float(one(args, acc))
+    # the remote compile service sporadically drops long-lived connections
+    # (Broken pipe) — retry the compiling call a few times before giving up
+    for attempt in range(4):
+        try:
+            float(one(args, acc))
+            break
+        except jax.errors.JaxRuntimeError as exc:
+            if "UNAVAILABLE" not in str(exc) or attempt == 3:
+                raise
+            print(json.dumps({"retry": attempt + 1,
+                              "error": str(exc)[:120]}), flush=True)
+            time.sleep(20)
     rtt = measure_rtt()
     best = float("inf")
     for _ in range(3):

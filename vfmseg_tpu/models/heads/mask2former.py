@@ -400,11 +400,56 @@ class Mask2FormerHead(nn.Module):
                                   (b, self.num_heads) + am.shape[1:])
             return cls_pred, mask_pred, am
 
-        cls_preds, mask_preds = [], []
-        cls_pred, mask_pred, attn_mask = forward_head(query_feat, level_shapes[0])
-        cls_preds.append(cls_pred)
-        mask_preds.append(mask_pred)
+        if train:
+            cls_preds, mask_preds = [], []
+            cls_pred, mask_pred, attn_mask = forward_head(
+                query_feat, level_shapes[0])
+            cls_preds.append(cls_pred)
+            mask_preds.append(mask_pred)
 
+            for i in range(self.num_decoder_layers):
+                lvl = i % self.num_transformer_feat_level
+                query_feat = Mask2FormerDecoderLayer(
+                    embed_dims=c, num_heads=self.num_heads, dtype=self.dtype,
+                    name=f"decoder_layer{i}",
+                )(query_feat, decoder_inputs[lvl], query_pos,
+                  decoder_poses[lvl], attn_mask)
+                cls_pred, mask_pred, attn_mask = forward_head(
+                    query_feat,
+                    level_shapes[(i + 1) % self.num_transformer_feat_level])
+                cls_preds.append(cls_pred)
+                mask_preds.append(mask_pred)
+            return cls_preds, mask_preds
+
+        # Inference: only the final stage's predictions are consumed
+        # (semantic_inference reads [-1]; aux stages exist for the training
+        # loss only). The intermediate stages exist purely to produce the
+        # next layer's attention mask — and bilinear resize commutes with
+        # the channel einsum (both linear, disjoint axes), so the mask can
+        # be formed at LEVEL resolution against pre-resized mask features:
+        #     resize(membed . F)  ==  membed . resize(F)   (real arithmetic)
+        # This skips the [B, Nq, H4, W4] per-stage mask + its resize (the
+        # mmdet order, rein_mask2former.py:60-71) — 64x fewer mask-einsum
+        # FLOPs and no 100-plane full-res intermediates per stage. The fp
+        # rounding differs at ~1e-6; only sigmoid(x) ~ 0.5 borderline mask
+        # pixels can flip, which the attention mask is insensitive to.
+        mask_feats_lvl = [
+            resize(mask_features, size=s, method="bilinear",
+                   align_corners=False)
+            for s in level_shapes
+        ]
+
+        def attn_mask_at(qf, lvl):
+            membed = mask_embed(decoder_norm(qf))
+            am = jnp.einsum("bqc,bhwc->bqhw", membed, mask_feats_lvl[lvl])
+            am = (jax.nn.sigmoid(am.astype(jnp.float32)) < 0.5)
+            am = am.reshape(b, self.num_queries, -1)
+            all_true = jnp.all(am, axis=-1, keepdims=True)
+            am = jnp.where(all_true, False, am)
+            return jnp.broadcast_to(am[:, None],
+                                    (b, self.num_heads) + am.shape[1:])
+
+        attn_mask = attn_mask_at(query_feat, 0)
         for i in range(self.num_decoder_layers):
             lvl = i % self.num_transformer_feat_level
             query_feat = Mask2FormerDecoderLayer(
@@ -412,12 +457,14 @@ class Mask2FormerHead(nn.Module):
                 name=f"decoder_layer{i}",
             )(query_feat, decoder_inputs[lvl], query_pos, decoder_poses[lvl],
               attn_mask)
-            cls_pred, mask_pred, attn_mask = forward_head(
-                query_feat,
-                level_shapes[(i + 1) % self.num_transformer_feat_level])
-            cls_preds.append(cls_pred)
-            mask_preds.append(mask_pred)
-        return cls_preds, mask_preds
+            if i + 1 < self.num_decoder_layers:
+                attn_mask = attn_mask_at(
+                    query_feat,
+                    (i + 1) % self.num_transformer_feat_level)
+        out = decoder_norm(query_feat)
+        membed = mask_embed(out)
+        mask_pred = jnp.einsum("bqc,bhwc->bqhw", membed, mask_features)
+        return [cls_embed(out)], [mask_pred]
 
 
 def semantic_inference(cls_pred: jax.Array, mask_pred: jax.Array,
