@@ -33,15 +33,25 @@ def _round_up(x: int, m: int) -> int:
 
 # sequences up to this length run as ONE block (measured fastest at ViT
 # crop lengths: per-cell fixed costs dominate small tiles; a 1032^2 fp32
-# score tile is ~4.3 MB, comfortably in VMEM)
+# score tile is ~4.3 MB, comfortably in VMEM). Longer sequences split into
+# the FEWEST blocks of at most this size (not the default 512 cap): at the
+# stage-1 length 2049, two 1032-blocks measured 69.5 TF/s vs 59.2 for the
+# five 416-blocks the old ceil(n/512) policy produced (v5e sweep,
+# tools/bench_kernels.py --sweep) — bigger tiles amortize the per-block
+# softmax bookkeeping and keep the MXU matmuls near their wide-shape rate.
 _SINGLE_BLOCK_MAX = 1100
+_MULTI_BLOCK_TARGET = 1032
 
 
 def _pick_block(n: int, max_block: int, allow_single: bool = True) -> int:
-    """Smallest 8-aligned block covering n in ceil(n/max_block) blocks —
-    minimizes padded softmax tiles (the kernel's VPU-bound cost)."""
-    if allow_single and n <= _SINGLE_BLOCK_MAX:
-        return _round_up(n, 8)
+    """Smallest 8-aligned block covering n in the fewest blocks of size
+    <= max(max_block, _SINGLE_BLOCK_MAX) — minimizes padded softmax tiles
+    (the kernel's VPU-bound cost) while keeping tiles as large as VMEM
+    allows (fewer, larger blocks measured faster; see _SINGLE_BLOCK_MAX)."""
+    if allow_single:
+        if n <= _SINGLE_BLOCK_MAX:
+            return _round_up(n, 8)
+        max_block = max(max_block, _MULTI_BLOCK_TARGET)
     num_blocks = -(-n // max_block)
     return _round_up(-(-n // num_blocks), 8)
 
