@@ -708,6 +708,12 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
     # VFMSEG_FLASH_SAFE_SOFTMAX=1 to restore it for the primal too.
     no_max = fused_l and os.environ.get(
         "VFMSEG_FLASH_SAFE_SOFTMAX", "0") != "1"
+    # dev-only ablation switch (tools/ablate_flash.py): isolates the cost of
+    # each kernel phase to attribute the gap to the D=64 matmul roofline.
+    # Values: "noexp" (p = s: skip the exp2), "nocast" (AV consumes fp32 p:
+    # skip the bf16 cast, MXU at the fp32 rate), "nomm2" (skip the AV
+    # matmul), "nomm1" (skip the score matmul). NOT a correctness mode.
+    ablate = os.environ.get("VFMSEG_FLASH_ABLATE", "")
     halves = []
     for hh in range(2):
         q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
@@ -724,20 +730,32 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
                     jnp.int32, k.shape, 0)
                 k = jnp.where(kv_row < kv_len, k, 0)
                 v = jnp.where(kv_row < kv_len, v, 0)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # log2-space scores
+            if ablate == "nomm1":
+                s = jnp.broadcast_to(q[:, :1].astype(jnp.float32),
+                                     (block_q, block_k))
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # log2-space scores
             if masked:
                 col = j * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1)
                 s = jnp.where(col < kv_len, s, _NEG_INF)
             if no_max:
-                p = jnp.exp2(s)
+                p = s if ablate == "noexp" else jnp.exp2(s)
+                if ablate == "nomm2":
+                    return m, l, acc + p[:, :acc.shape[1]]
                 v_aug = jnp.concatenate(
                     [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
-                acc_new = acc + jax.lax.dot_general(
-                    p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if ablate == "nocast":
+                    acc_new = acc + jax.lax.dot_general(
+                        p, v_aug.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    acc_new = acc + jax.lax.dot_general(
+                        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 return m, l, acc_new
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
