@@ -6,7 +6,10 @@ applications inside one jit with a forced data dependency — per-call wall
 timing is meaningless on the async axon relay (~30 ms RTT).
 
 Prints one JSON line per component; use it to find where a stream group's
-time goes beyond the two ViT calls.
+time goes beyond the two ViT calls. Model components take `variables` as a
+jit ARGUMENT — closing over the 300M-param tree embeds it as XLA literal
+constants and ships ~600 MB per compile request to the remote service
+(observed: >16 min compiles vs ~30 s with the tree as an argument).
 """
 
 import argparse
@@ -91,6 +94,10 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048))
     ap.add_argument("--iters", type=int, default=8,
                     help="pipelined dispatch count per measurement")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filter: measure only matching "
+                         "components (one component per process sidesteps "
+                         "the relay's long-lived-connection drops)")
     args = ap.parse_args()
 
     from bench import random_variables
@@ -133,6 +140,10 @@ def main():
     rows = []
 
     def report(tag, sec, note=""):
+        if args.only and not any(sub in tag for sub in args.only):
+            return
+        if callable(sec):
+            sec = sec()
         row = {"component": tag, "ms": round(sec * 1e3, 3), "note": note}
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -141,49 +152,49 @@ def main():
         return x + (acc * 1e-12).astype(x.dtype)
 
     # ---- stage-1 pieces ------------------------------------------------
-    report("resize_in_1024x2048_to_512x1024", time_chain(
+    report("resize_in_1024x2048_to_512x1024", lambda: time_chain(
         lambda im, acc: jnp.sum(resize(dep(im, acc), size=lr_size,
                                        method="bilinear")[:, ::97, ::97]
                                 ).astype(jnp.float32),
         args.iters, img))
 
-    report("backbone_lr_8x512x1024", time_chain(
-        lambda x, acc: jnp.sum(
-            feats_fn(variables, dep(x, acc))[-1][:, ::7, ::7, ::97]
+    report("backbone_lr_8x512x1024", lambda: time_chain(
+        lambda v, x, acc: jnp.sum(
+            feats_fn(v, dep(x, acc))[-1][:, ::7, ::7, ::97]
         ).astype(jnp.float32),
-        args.iters, lr_img))
+        args.iters, variables, lr_img))
 
-    report("lr_forward_full (backbone+head+resize512x1024)", time_chain(
-        lambda x, acc: jnp.sum(
-            model.apply(variables, dep(x, acc),
+    report("lr_forward_full (backbone+head+resize512x1024)", lambda: time_chain(
+        lambda v, x, acc: jnp.sum(
+            model.apply(v, dep(x, acc),
                         method=MsVFMSegmentor.lr_forward)[:, ::97, ::97]
         ).astype(jnp.float32),
-        args.iters, lr_img))
+        args.iters, variables, lr_img))
 
-    report("resize_logits_512x1024_to_1024x2048_c19", time_chain(
+    report("resize_logits_512x1024_to_1024x2048_c19", lambda: time_chain(
         lambda x, acc: jnp.sum(resize(
             dep(x, acc)[:, : lr_size[0], : lr_size[1], :], size=(h, w),
             method="bilinear")[:, ::97, ::97]).astype(jnp.float32),
         args.iters, full))
 
-    report("window_confidence_full_map", time_chain(
+    report("window_confidence_full_map", lambda: time_chain(
         lambda f, acc: jnp.sum(window_confidence(
             dep(f, acc), boxes, crop, threshold)).astype(jnp.float32),
         args.iters, full))
 
     # ---- refine pieces -------------------------------------------------
-    report(f"backbone_hr_{k}x512x512", time_chain(
-        lambda x, acc: jnp.sum(
-            feats_fn(variables, dep(x, acc))[-1][:, ::7, ::7, ::97]
+    report(f"backbone_hr_{k}x512x512", lambda: time_chain(
+        lambda v, x, acc: jnp.sum(
+            feats_fn(v, dep(x, acc))[-1][:, ::7, ::7, ::97]
         ).astype(jnp.float32),
-        args.iters, crops))
+        args.iters, variables, crops))
 
-    report(f"hr_forward_full_{k} (backbone+vfmhead+resize)", time_chain(
-        lambda x, c, acc: jnp.sum(
-            model.apply(variables, dep(x, acc), c, False, False,
+    report(f"hr_forward_full_{k} (backbone+vfmhead+resize)", lambda: time_chain(
+        lambda v, x, c, acc: jnp.sum(
+            model.apply(v, dep(x, acc), c, False, False,
                         method=MsVFMSegmentor.hr_forward)[:, ::97, ::97]
         ).astype(jnp.float32),
-        args.iters, crops, ctx))
+        args.iters, variables, crops, ctx))
 
     # ---- finish pieces -------------------------------------------------
     idx = jnp.arange(k, dtype=jnp.int32)
@@ -196,7 +207,7 @@ def main():
         out = _gather_windows(dep(f, acc), gi, ys, xs, crop)
         return jnp.sum(out[:, ::97, ::97]).astype(jnp.float32)
 
-    report(f"gather_windows_{k}_from_full", time_chain(
+    report(f"gather_windows_{k}_from_full", lambda: time_chain(
         gather_fn, args.iters, full))
 
     delta = jax.random.normal(jax.random.PRNGKey(5), (k, ch, cw, 19), dtype)
@@ -207,14 +218,14 @@ def main():
         out = accumulate_crops(sparse, boxes, (h, w))
         return jnp.sum(out[:, ::97, ::97]).astype(jnp.float32)
 
-    report(f"sparse_scatter+accumulate_{k}", time_chain(
+    report(f"sparse_scatter+accumulate_{k}", lambda: time_chain(
         scatter_fn, args.iters, delta))
 
     def base_add_fn(f, acc):
         base = dep(f, acc).astype(jnp.float32)
         return jnp.sum(base[:, ::97, ::97]).astype(jnp.float32)
 
-    report("base_cast_fp32", time_chain(base_add_fn, args.iters, full))
+    report("base_cast_fp32", lambda: time_chain(base_add_fn, args.iters, full))
 
     # ---- whole phases as the engine runs them ---------------------------
     engine = CompactMsSlide(
@@ -224,12 +235,13 @@ def main():
         crop=crop, stride=stride, lr_size=lr_size,
         threshold=threshold, conf=test_cfg.get("conf", 0.8))
 
-    def stage1_fn(im, acc):
-        f, conf = engine._stage1_impl(variables, dep(im, acc), (h, w))
+    def stage1_fn(v, im, acc):
+        f, conf = engine._stage1_impl(v, dep(im, acc), (h, w))
         return (jnp.sum(f[:, ::257, ::257]) + jnp.sum(conf)).astype(
             jnp.float32)
 
-    report("stage1_impl_total", time_chain(stage1_fn, args.iters, img))
+    report("stage1_impl_total", lambda: time_chain(
+        stage1_fn, args.iters, variables, img))
 
     fin = engine._finish_fn(k, (h, w))
     idx_valid = np.zeros(2 * k, np.int32)
@@ -237,11 +249,12 @@ def main():
     idx_valid[k:] = 1
     iv = jnp.asarray(idx_valid)
 
-    def finish_fn(im, f, acc):
-        out = fin.__wrapped__(variables, dep(im, acc), f, iv)
+    def finish_fn(v, im, f, acc):
+        out = fin.__wrapped__(v, dep(im, acc), f, iv)
         return jnp.sum(out[:, ::257, ::257]).astype(jnp.float32)
 
-    report(f"finish_total_k{k}", time_chain(finish_fn, args.iters, img, full))
+    report(f"finish_total_k{k}", lambda: time_chain(
+        finish_fn, args.iters, variables, img, full))
 
     with open("/tmp/profile_gated.json", "w") as f:
         json.dump(rows, f, indent=1)

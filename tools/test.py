@@ -143,7 +143,7 @@ def main():
 
             preds = stream_evaluate(
                 model, variables, test_cfg, image_iter(), out_hw,
-                group=test_cfg.get("stream_group", 4), mesh=mesh)
+                group=test_cfg.get("stream_group", 8), mesh=mesh)
             for pred in preds:
                 raw, label, i = meta.popleft()
                 acc.update(pred, label, key)

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vfmseg_tpu.eval.slide import accumulate_crops, compute_slide_grid
+from vfmseg_tpu.eval.slide import compute_slide_grid
 from vfmseg_tpu.ops.resize import resize
 
 # spacing 2 through the production operating band (group 8 at ~80% skip
@@ -66,9 +66,10 @@ def window_confidence(full: jax.Array, boxes, crop: Tuple[int, int],
     and the divisor is the same pixel count. Returns [G*B] box-major
     (window w -> box w // B, image w % B), matching extract_crops order.
     """
+    from vfmseg_tpu.eval.slide import confident_mask
+
     ch, cw = crop
-    probs = jax.nn.softmax(full.astype(jnp.float32), axis=-1)
-    mask = (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32)
+    mask = confident_mask(full, threshold)
     per_box = [
         jnp.mean(mask[:, y1:y1 + ch, x1:x1 + cw], axis=(1, 2))
         for (y1, x1) in boxes
@@ -151,20 +152,30 @@ class CompactMsSlide:
         low-confidence windows from the stage-1 map, refine, blend the
         deltas back (sparse-delta decomposition, module docstring). A
         single dispatch per group — the eager tail would otherwise issue
-        hundreds of small ops, which dominates on high-latency links."""
+        hundreds of small ops, which dominates on high-latency links.
+
+        Delta blending is k chained dynamic-slice adds of delta*coverage^-1
+        onto the fp32 base — each touches only its own window region
+        (~80 MB of HBM traffic per window, in-place under XLA's buffer
+        aliasing). The previous formulation scattered the deltas into the
+        dense [G*B, ch, cw, C] window layout and ran the band-decomposed
+        overlap-average over ALL G*B slots (zeros included) — 20.9 ms per
+        bs8 group vs ~5 ms for the chained adds (v5e, bucket 28)."""
         key = (k, img_hw)
         if key not in self._refine:
+            from vfmseg_tpu.eval.slide import _coverage_inv
+
             boxes = compute_slide_grid(img_hw, self.crop, self.stride)
             ch, cw = self.crop
             ys_tab = np.asarray([y for (y, _) in boxes], np.int32)
             xs_tab = np.asarray([x for (_, x) in boxes], np.int32)
+            inv_tab = _coverage_inv(tuple(boxes), (ch, cw), tuple(img_hw))
 
             def fn(variables, img, full, idx_valid):
                 base = full.astype(jnp.float32)
                 if k == 0:
                     return base
                 b = img.shape[0]
-                g = len(boxes)
                 idx, valid = idx_valid[:k], idx_valid[k:] > 0
                 img_i = idx % b
                 box_j = idx // b
@@ -180,15 +191,22 @@ class CompactMsSlide:
                 refined = self.hr_fn(variables, g_img, g_ctx).astype(
                     full.dtype)
                 # padded rows carry a zero delta, so duplicate pad indices
-                # cannot clobber real refinements
+                # cannot clobber real refinements (their adds are no-ops)
                 delta = jnp.where(valid[:, None, None, None],
                                   refined - g_ctx, 0.0).astype(full.dtype)
-                # sparse rows -> [G*B] window layout; accumulate_crops then
-                # yields exactly the coverage^-1-weighted delta sum
-                sparse = jnp.zeros((g * b, ch, cw, full.shape[3]),
-                                   full.dtype)
-                sparse = sparse.at[idx].add(delta, mode="drop")
-                return base + accumulate_crops(sparse, boxes, img_hw)
+                inv_full = jnp.asarray(inv_tab)          # [H, W, 1] fp32
+                out = base
+                for i in range(k):
+                    region = jax.lax.dynamic_slice(
+                        out, (img_i[i], ys[i], xs[i], 0),
+                        (1, ch, cw, out.shape[3]))
+                    invw = jax.lax.dynamic_slice(
+                        inv_full, (ys[i], xs[i], 0), (ch, cw, 1))
+                    region = region + (delta[i].astype(jnp.float32)
+                                       * invw)[None]
+                    out = jax.lax.dynamic_update_slice(
+                        out, region, (img_i[i], ys[i], xs[i], 0))
+                return out
 
             self._refine[key] = jax.jit(fn)
         return self._refine[key]

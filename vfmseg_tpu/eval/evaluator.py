@@ -157,7 +157,7 @@ def make_compact_ms_slide(model, test_cfg: Dict, mesh=None):
 
 
 def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
-                    group: int = 4, mesh=None):
+                    group: int = 8, mesh=None):
     """Throughput eval: yield per-image [H, W] predictions for a stream of
     same-shaped preprocessed images via CompactMsSlide.stream (grouped
     stage-1 + pipelined gate; see bench.py)."""

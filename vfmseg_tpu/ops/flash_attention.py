@@ -26,6 +26,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float("-inf")
 
+# Per-kernel scoped-VMEM budget: the fewest-largest block policy puts two
+# ~4.3 MB fp32 score tiles (plus their bf16 p casts and double-buffered kv
+# DMA windows) live at once, which exceeds the backend's default 16 MB
+# scoped-vmem compile limit at the stage-1 shapes (observed: "Scoped
+# allocation with size 19.98M and limit 16.00M exceeded"). v5e has 128 MB
+# of VMEM per core; 100 MB leaves headroom for the runtime's own buffers.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -248,6 +256,7 @@ def _flash_forward(q, k, v, scale: float, bias=None, with_lse: bool = True):
         out_specs, out_shape = o_spec, o_shape
     res = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -472,6 +481,7 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int,
     dq_out = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
                           block_k=block_k, has_bias=has_bias),
+        compiler_params=_VMEM_LIMIT,
         grid=(b, h, nq_pad // block_q),
         in_specs=dq_specs,
         out_specs=dq_out_specs,
@@ -501,6 +511,7 @@ def _flash_backward(qp, kp, vp, lse, out, g, scale: float, nq: int, nk: int,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
                           block_q=block_q, has_bias=has_bias),
+        compiler_params=_VMEM_LIMIT,
         grid=(b, h, nk_pad // block_k),
         in_specs=dkv_specs,
         out_specs=(
@@ -560,6 +571,7 @@ def _flash_forward_hm(q, k, v, scale: float, with_lse: bool = True):
         out_specs, out_shape = o_spec, o_shape
     res = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -599,6 +611,7 @@ def _flash_backward_hm(q, k, v, lse, out, g, scale: float,
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
                           block_k=block_k, has_bias=False,
                           exp2_scale_q=exp2_scale_q),
+        compiler_params=_VMEM_LIMIT,
         grid=(b, h, pl.cdiv(nq, block_q)),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
@@ -624,6 +637,7 @@ def _flash_backward_hm(q, k, v, lse, out, g, scale: float,
         functools.partial(_bwd_dkv_kernel, scale=scale, q_len=nq,
                           block_q=block_q, has_bias=False,
                           exp2_scale_q=exp2_scale_q),
+        compiler_params=_VMEM_LIMIT,
         grid=(b, h, pl.cdiv(nk, block_k)),
         in_specs=[
             pl.BlockSpec((1, 1, qp, d), lambda bi, hi, i: (bi, hi, 0, 0),
@@ -715,6 +729,74 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
     # matmul), "nomm1" (skip the score matmul). NOT a correctness mode.
     ablate = os.environ.get("VFMSEG_FLASH_ABLATE", "")
     halves = []
+    if no_max and os.environ.get("VFMSEG_FLASH_INTERLEAVE", "1") != "0":
+        # Interleaved-halves schedule (primal only): the two head halves
+        # are independent dependency chains, so emit per kv block
+        #   s0, s1 (MXU) -> p0 (VPU) -> AV0 (MXU) || p1 (VPU) -> AV1 (MXU)
+        # — one half's exp2 can run under the other half's matmuls. The
+        # sequential per-half loop below serializes MXU and VPU phases
+        # within each half, which is the measured kernel bottleneck at
+        # D=64 (serial model ~65 TF/s; matmul-only roofline ~98).
+        # Per-half accumulation order is unchanged (bit-identical results).
+        qs = [(qp[:, hh * head_dim:(hh + 1) * head_dim]
+               .astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype)
+              for hh in range(2)]
+        accs = [jnp.zeros((block_q, head_dim + 1), dtype=jnp.float32)
+                for _ in range(2)]
+        for j in range(num_kv):
+            masked = has_tail and j == num_kv - 1
+            svs = []
+            for hh in range(2):
+                k = k_ref[0, pl.ds(j * block_k, block_k),
+                          hh * head_dim:(hh + 1) * head_dim]
+                v = v_ref[0, pl.ds(j * block_k, block_k),
+                          hh * head_dim:(hh + 1) * head_dim]
+                if masked:
+                    kv_row = j * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, k.shape, 0)
+                    k = jnp.where(kv_row < kv_len, k, 0)
+                    v = jnp.where(kv_row < kv_len, v, 0)
+                if ablate == "nomm1":
+                    s = jnp.broadcast_to(
+                        qs[hh][:, :1].astype(jnp.float32),
+                        (block_q, block_k))
+                else:
+                    s = jax.lax.dot_general(
+                        qs[hh], k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                if masked:
+                    col = j * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, 1)
+                    s = jnp.where(col < kv_len, s, _NEG_INF)
+                svs.append((s, v))
+            for hh in range(2):
+                s, v = svs[hh]
+                p = s if ablate == "noexp" else jnp.exp2(s)
+                if ablate == "nomm2":
+                    accs[hh] = accs[hh] + p[:, :head_dim + 1]
+                    continue
+                v_aug = jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+                if ablate == "nocast":
+                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                        p, v_aug.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        for hh in range(2):
+            acc = accs[hh]
+            safe_l = jnp.maximum(acc[:, head_dim:], 1e-37)
+            o_hh = (acc[:, :head_dim] / safe_l).astype(o_ref.dtype)
+            if token_major:
+                halves.append(o_hh)
+            else:
+                o_ref[0, 0, hh, :, :] = o_hh
+        if token_major:
+            o_ref[0, :, :] = jnp.concatenate(halves, axis=1)
+        return
     for hh in range(2):
         q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
              * (scale * _LOG2E)).astype(qp.dtype)
@@ -730,33 +812,21 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
                     jnp.int32, k.shape, 0)
                 k = jnp.where(kv_row < kv_len, k, 0)
                 v = jnp.where(kv_row < kv_len, v, 0)
-            if ablate == "nomm1":
-                s = jnp.broadcast_to(q[:, :1].astype(jnp.float32),
-                                     (block_q, block_k))
-            else:
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # log2-space scores
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # log2-space scores
             if masked:
                 col = j * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1)
                 s = jnp.where(col < kv_len, s, _NEG_INF)
             if no_max:
-                p = s if ablate == "noexp" else jnp.exp2(s)
-                if ablate == "nomm2":
-                    return m, l, acc + p[:, :acc.shape[1]]
+                # serial no-max variant (VFMSEG_FLASH_INTERLEAVE=0 A/B path)
+                p = jnp.exp2(s)
                 v_aug = jnp.concatenate(
                     [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
-                if ablate == "nocast":
-                    acc_new = acc + jax.lax.dot_general(
-                        p, v_aug.astype(jnp.float32),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                else:
-                    acc_new = acc + jax.lax.dot_general(
-                        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                return m, l, acc_new
+                return m, l, acc + jax.lax.dot_general(
+                    p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             corr = jnp.exp2(m - m_new)
@@ -839,6 +909,7 @@ def _flash_forward_qkv(qkv, num_heads: int, scale: float,
         functools.partial(_fwd_kernel_qkv, scale=scale, kv_len=n,
                           block_k=block_k, head_dim=d, with_lse=with_lse,
                           token_major=token_major),
+        compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 2 * d), lambda bi, hi, qi: (bi, qi, hi),
@@ -899,11 +970,20 @@ _flash_qkv.defvjp(_flash_qkv_fwd_rule, _flash_qkv_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _flash_qkv_tm(qkv, num_heads: int, scale: float):
-    # primal: token-major store — the proj matmul consumes [B, N, E]
-    # directly (zero relayouts); no lse.
-    out, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False,
-                                token_major=True)
-    return out
+    # primal: the [B, N, E] output contract. With the interleaved-halves
+    # kernel the head-major store (big contiguous per-half DMAs) plus one
+    # XLA relayout pass measured FASTER than the direct token-major store
+    # (128-lane strips into a 1024-wide row are 256 B strided bursts):
+    # refine shape 1.73 ms vs 2.23 ms on v5e. VFMSEG_TM_STORE=1 restores
+    # the direct-store kernel for ablation.
+    if os.environ.get("VFMSEG_TM_STORE", "0") == "1":
+        out, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False,
+                                    token_major=True)
+        return out
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    out_hm, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False)
+    return out_hm.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
 
 
 def _flash_qkv_tm_fwd_rule(qkv, num_heads: int, scale: float):
@@ -1103,6 +1183,7 @@ def _flash_forward_relpos_hm(q, k, v, rel_h, rel_w, w: int, scale: float):
     return pl.pallas_call(
         functools.partial(_fwd_kernel_relpos, scale=scale, kv_len=nk,
                           block_k=block_k, w=w),
+        compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),

@@ -79,60 +79,6 @@ def _interp_matrix(in_size: int, out_size: int, method: str,
     return mat
 
 
-def _up2_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Exact bilinear 2x upsample along `axis` (align_corners=False).
-
-    src = (dst + 0.5)/2 - 0.5: even outputs = 0.75*x[i] + 0.25*x[i-1], odd
-    = 0.75*x[i] + 0.25*x[i+1]; edge clamping falls out of the replicated
-    first/last rows (0.75*x0 + 0.25*x0 = x0). Same two taps and weights as
-    the interpolation-matrix row, summed in the same order."""
-    n = x.shape[axis]
-    prev = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-                            jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
-                           axis=axis)
-    nxt = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis),
-                           jax.lax.slice_in_dim(x, n - 1, n, axis=axis)],
-                          axis=axis)
-    even = 0.75 * x + 0.25 * prev
-    odd = 0.75 * x + 0.25 * nxt
-    ax = axis % x.ndim
-    out = jnp.stack([even, odd], axis=ax + 1)
-    return out.reshape(x.shape[:ax] + (2 * n,) + x.shape[ax + 1:])
-
-
-def _down2_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Exact bilinear 0.5x downsample along `axis` (align_corners=False):
-    src = 2*dst + 0.5 -> mean of each adjacent pair (2x avg-pool)."""
-    n = x.shape[axis]
-    ax = axis % x.ndim
-    xr = x.reshape(x.shape[:ax] + (n // 2, 2) + x.shape[ax + 1:])
-    a = jax.lax.index_in_dim(xr, 0, axis=ax + 1, keepdims=False)
-    b = jax.lax.index_in_dim(xr, 1, axis=ax + 1, keepdims=False)
-    return 0.5 * a + 0.5 * b
-
-
-def _stencil_2x(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Fused exact path for the hot 2x/0.5x bilinear resizes.
-
-    The separable-matmul formulation is correct but pays dense [out, in]
-    contractions for what is a 2-tap stencil — at the pipeline's
-    [B, H, W, 19] logit maps the einsum burns ~250x the necessary FLOPs in
-    lane-padded MXU tiles (C=19 minor). This path is pure bandwidth:
-    ~2 reads + 1 write per axis. Numerics match the matrix path's two taps
-    (weights 0.75/0.25 resp. 0.5/0.5, same accumulation order); bf16 data
-    rounds to bf16 between the H and W passes exactly like the einsum path.
-    """
-    dtype = x.dtype
-    oh, ow = out_hw
-    h, w = x.shape[-3], x.shape[-2]
-    compute = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    y = x.astype(compute)
-    y = _up2_axis(y, -3) if oh == 2 * h else _down2_axis(y, -3)
-    y = y.astype(dtype).astype(compute)
-    y = _up2_axis(y, -2) if ow == 2 * w else _down2_axis(y, -2)
-    return y.astype(dtype)
-
-
 def _apply_separable(x: jax.Array, out_hw: Tuple[int, int], method: str,
                      align_corners: bool,
                      scales: Tuple[Optional[float], Optional[float]]) -> jax.Array:
@@ -186,12 +132,6 @@ def resize(
         return x
     if method == "nearest":
         return _nearest(x, (oh, ow))
-    if (method == "bilinear" and not align_corners
-            and (oh == 2 * h or h == 2 * oh)
-            and (ow == 2 * w or w == 2 * ow)):
-        # exact integer-factor mappings: the explicit-scale source coords
-        # (dst+0.5)/s - 0.5 coincide with the size-based ones at s in {2, .5}
-        return _stencil_2x(x, (oh, ow))
     return _apply_separable(x, (oh, ow), method, align_corners, scales)
 
 
