@@ -66,6 +66,32 @@ class LoRADense(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_features, self.features))
+        if self.rank > 0 and (deterministic or self.lora_dropout == 0.0):
+            # Dropout-free path: y = x(W + sAB) + b, folding the low-rank
+            # update into the base kernel. The sequential form pays two
+            # ACTIVATION-sized skinny GEMMs ([tokens, e] x [e, r] at 1/8
+            # MXU depth and [tokens, r] x [r, F] at r/128 depth) — ~13 ms
+            # per bs28 refine group on v5e, 7% of the ViT-L forward. The
+            # fold is WEIGHT-sized ([e, r] x [r, F] + one add), ~100x
+            # smaller here, and the main GEMM is unchanged. Mathematically
+            # identical (fp32 fold; differs from the sequential form only
+            # in rounding). Training with lora_dropout keeps the
+            # sequential form — dropout acts on x before A.
+            lora_a = self.param("lora_a", _kaiming_uniform_a5,
+                                (in_features, self.rank))
+            lora_b = self.param("lora_b", nn.initializers.zeros,
+                                (self.rank, self.features))
+            scaling = self.alpha / self.rank
+            kern = (kernel.astype(jnp.float32)
+                    + jnp.dot(lora_a.astype(jnp.float32),
+                              lora_b.astype(jnp.float32)) * scaling
+                    ).astype(self.dtype)
+            y = jnp.dot(x, kern)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                y = y + bias.astype(self.dtype)
+            return y
         y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -131,12 +157,24 @@ class HeadMajorDense(nn.Module):
             lora_a = self.param("lora_a", _kaiming_uniform_a5, (e, self.rank))
             lora_b = self.param("lora_b", nn.initializers.zeros,
                                 (self.rank, s * hh * d))
-            wb = lora_b.astype(self.dtype).reshape(self.rank, s, hh, d)
-            xd = x
-            if self.lora_dropout > 0.0 and not deterministic:
-                xd = nn.Dropout(rate=self.lora_dropout)(xd, deterministic=False)
-            xa = jnp.dot(xd, lora_a.astype(self.dtype))
-            scaling = self.alpha / self.rank
+            if deterministic or self.lora_dropout == 0.0:
+                # dropout-free: fold W + sAB once (weight-sized work) —
+                # see LoRADense; the per-slot einsums then run unchanged
+                scaling = self.alpha / self.rank
+                kern = (kernel.astype(jnp.float32)
+                        + jnp.dot(lora_a.astype(jnp.float32),
+                                  lora_b.astype(jnp.float32)) * scaling
+                        ).astype(self.dtype)
+                w = kern.reshape(e, s, hh, d)
+                xa = scaling = wb = None
+            else:
+                wb = lora_b.astype(self.dtype).reshape(self.rank, s, hh, d)
+                xd = x
+                if self.lora_dropout > 0.0 and not deterministic:
+                    xd = nn.Dropout(rate=self.lora_dropout)(
+                        xd, deterministic=False)
+                xa = jnp.dot(xd, lora_a.astype(self.dtype))
+                scaling = self.alpha / self.rank
         outs = []
         for i in range(s):
             t = jnp.einsum("bne,ehd->bhnd", x, w[:, i],
