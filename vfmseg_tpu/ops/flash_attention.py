@@ -870,6 +870,97 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
         o_ref[0, :, :] = jnp.concatenate(halves, axis=1)
 
 
+def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        kv_len: int, block_k: int, head_dim: int):
+    """Transposed-AV no-max primal: all math runs on s^T = k q^T.
+
+    The natural-orientation AV matmul writes [bq, d+1]: 65 of 128 output
+    LANES used, capping it at ~100 TF/s. Transposed, AV becomes
+    v_aug^T p^T -> [d+1, bq]: full lanes, 65 -> 72 SUBLANE padding only
+    (~90% util, ~177 TF/s cap). No physical transposes anywhere: the
+    score matmul is the same contract-on-dim-1 form with q/k swapped,
+    AV contracts both operands on dim 0, and the [.., d, n] output
+    layout is relayouted by the same XLA pass the [B, N, E] contract
+    already pays. exp2/masking/accumulation orders are unchanged."""
+    qp = q_ref[0, :, :]                    # [bq, 2*head_dim]
+    block_q = qp.shape[0]
+    kv_pad = k_ref.shape[1]
+    num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
+    for hh in range(2):
+        q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
+             * (scale * _LOG2E)).astype(qp.dtype)
+        acc = jnp.zeros((head_dim + 1, block_q), dtype=jnp.float32)
+        for j in range(num_kv):
+            masked = has_tail and j == num_kv - 1
+            k = k_ref[0, pl.ds(j * block_k, block_k),
+                      hh * head_dim:(hh + 1) * head_dim]
+            v = v_ref[0, pl.ds(j * block_k, block_k),
+                      hh * head_dim:(hh + 1) * head_dim]
+            if masked:
+                kv_row = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, k.shape, 0)
+                k = jnp.where(kv_row < kv_len, k, 0)
+                v = jnp.where(kv_row < kv_len, v, 0)
+            st = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, bq]
+            if masked:
+                row = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, st.shape, 0)
+                st = jnp.where(row < kv_len, st, _NEG_INF)
+            p = jnp.exp2(st)
+            v_aug = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+            acc = acc + jax.lax.dot_general(
+                v_aug, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [d+1, bq]
+        safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
+        o_ref[0, 0, hh, :, :] = (acc[:head_dim, :] / safe_l).astype(
+            o_ref.dtype)
+
+
+def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
+    """qkv [B, N, 3HD] -> out [B, H/2, 2, D, N] (transposed layout).
+
+    One q block per cell (grid = batch x head-pairs): the [.., D, N]
+    output block must tile (8, 128) or span the array, and N is not a
+    128-multiple at ViT lengths — spanning it sidesteps the constraint,
+    and the whole-sequence score tile (<=8.5 MB fp32 at stage-1 lengths)
+    sits comfortably in VMEM."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    h2 = num_heads // 2
+    _, block_k = _blocks(n, n)
+    kvp = _round_up(n, block_k)
+    grid = (b, h2)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv_tav, scale=scale, kv_len=n,
+                          block_k=block_k, head_dim=d),
+        compiler_params=_VMEM_LIMIT,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, 2 * d), lambda bi, hi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, 2 * d),
+                         lambda bi, hi: (bi, 0, h2 + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, 2 * d),
+                         lambda bi, hi: (bi, 0, 2 * h2 + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, d, n),
+                               lambda bi, hi: (bi, hi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, n), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(qkv, qkv, qkv)
+
+
 def _flash_forward_qkv(qkv, num_heads: int, scale: float,
                        with_lse: bool = True, token_major: bool = False):
     """qkv [B, N, 3*H*D] -> (out [B, H, N, D], lse [B, H, N, 1] or None).
@@ -982,6 +1073,10 @@ def _flash_qkv_tm(qkv, num_heads: int, scale: float):
         return out
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
+    if os.environ.get("VFMSEG_FLASH_TAV", "1") != "0":
+        out_t = _flash_forward_qkv_tav(qkv, num_heads, scale)
+        # [B, H/2, 2, D, N]: feature index (pair, half, d) == head-major
+        return out_t.transpose(0, 4, 1, 2, 3).reshape(b, n, num_heads * d)
     out_hm, _ = _flash_forward_qkv(qkv, num_heads, scale, with_lse=False)
     return out_hm.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
 
