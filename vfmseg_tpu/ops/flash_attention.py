@@ -1145,9 +1145,81 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, *,
     return _flash_qkv(qkv, num_heads, float(scale))
 
 
+def _fwd_kernel_hm_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       kv_len: int, block_k: int):
+    # transposed-AV no-max primal over separate [B, H, N, D] operands —
+    # same formulation as _fwd_kernel_qkv_tav (see its docstring)
+    q = (q_ref[0, 0, :, :].astype(jnp.float32)
+         * (scale * _LOG2E)).astype(q_ref.dtype)
+    n, d = q.shape
+    kv_pad = k_ref.shape[2]
+    num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
+    acc = jnp.zeros((d + 1, n), dtype=jnp.float32)
+    for j in range(num_kv):
+        masked = has_tail and j == num_kv - 1
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        if masked:
+            kv_row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, k.shape, 0)
+            k = jnp.where(kv_row < kv_len, k, 0)
+            v = jnp.where(kv_row < kv_len, v, 0)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bk, n]
+        if masked:
+            row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 0)
+            st = jnp.where(row < kv_len, st, _NEG_INF)
+        p = jnp.exp2(st)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+        acc = acc + jax.lax.dot_general(
+            v_aug, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [d+1, n]
+    safe_l = jnp.maximum(acc[d:, :], 1e-37)
+    o_ref[0, 0, :, :] = (acc[:d, :] / safe_l).astype(o_ref.dtype)
+
+
+def _flash_forward_hm_tav(q, k, v, scale: float):
+    """[B, H, N, D] -> [B, H, D, N] transposed-AV primal (no lse)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    _, block_k = _blocks(nq, nk)
+    kvp = _round_up(nk, block_k)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_hm_tav, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        compiler_params=_VMEM_LIMIT,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, nq, d), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kvp, d), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d, nq), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, d, nq), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_hm(q, k, v, scale: float):
-    # primal (never differentiated at this call site): skip the lse store
+    # primal (never differentiated at this call site): skip the lse store.
+    # Transposed-AV by default; consumers transpose to token-major right
+    # after, so XLA composes the two transposes into the one relayout the
+    # head-major output already paid.
+    if os.environ.get("VFMSEG_FLASH_TAV", "1") != "0":
+        return _flash_forward_hm_tav(q, k, v, scale).transpose(0, 1, 3, 2)
     out, _ = _flash_forward_hm(q, k, v, scale, with_lse=False)
     return out
 
