@@ -195,8 +195,14 @@ class CompactMsSlide:
                 delta = jnp.where(valid[:, None, None, None],
                                   refined - g_ctx, 0.0).astype(full.dtype)
                 inv_full = jnp.asarray(inv_tab)          # [H, W, 1] fp32
-                out = base
-                for i in range(k):
+                # fori_loop, not an unrolled Python chain: XLA aliases the
+                # loop carry in place, so each step touches only its own
+                # window region. The unrolled chain of k dynamic-update-
+                # slices measured ~0.6 ms per window (a full 637 MB
+                # base-buffer copy per step at bs8 1024x2048 fp32 —
+                # copy elision does not kick in across the chain)
+
+                def blend(i, out):
                     region = jax.lax.dynamic_slice(
                         out, (img_i[i], ys[i], xs[i], 0),
                         (1, ch, cw, out.shape[3]))
@@ -204,9 +210,10 @@ class CompactMsSlide:
                         inv_full, (ys[i], xs[i], 0), (ch, cw, 1))
                     region = region + (delta[i].astype(jnp.float32)
                                        * invw)[None]
-                    out = jax.lax.dynamic_update_slice(
+                    return jax.lax.dynamic_update_slice(
                         out, region, (img_i[i], ys[i], xs[i], 0))
-                return out
+
+                return jax.lax.fori_loop(0, k, blend, base)
 
             self._refine[key] = jax.jit(fn)
         return self._refine[key]

@@ -881,43 +881,125 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     score matmul is the same contract-on-dim-1 form with q/k swapped,
     AV contracts both operands on dim 0, and the [.., d, n] output
     layout is relayouted by the same XLA pass the [B, N, E] contract
-    already pays. exp2/masking/accumulation orders are unchanged."""
+    already pays.
+
+    Two schedule refinements over the first transposed-AV cut (which ran
+    54 TF/s at refine shapes vs a ~126 TF/s two-matmul roofline — the
+    per-half chain st (MXU) -> exp2+cast (VPU) -> AV (MXU) was serial):
+      * interleaved halves — both halves' score matmuls issue before
+        either half's exp2/cast/AV, so one half's VPU passes run under
+        the other half's matmuls (the two chains are independent;
+        per-half accumulation order is unchanged, results bit-identical);
+        VFMSEG_FLASH_INTERLEAVE=0 restores the serial schedule for A/B;
+      * masked-ones-column tail — pad kv rows zero k (st row = q.0 = 0,
+        p = exp2(0) = 1) and zero the whole v_aug row INCLUDING the
+        ones column, so their AV contribution is exactly 0.v_aug = 0 for
+        every output including the fused denominator. This replaces the
+        -inf mask over the full [bk, bq] score tile (the largest VPU
+        pass in the kernel) with two [bk, d]-sized wheres and one
+        [bk, 1] iota compare. exp2(0)=1 vs exp2(-inf)=0 only ever
+        multiplies exact zeros, so outputs are bit-identical."""
     qp = q_ref[0, :, :]                    # [bq, 2*head_dim]
     block_q = qp.shape[0]
     kv_pad = k_ref.shape[1]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
+    interleave = os.environ.get("VFMSEG_FLASH_INTERLEAVE", "1") != "0"
+    # dev-only phase attribution (tools/ablate_flash.py; NOT a correctness
+    # mode): "noexp" p = st, "nocast" AV consumes fp32 p, "nomm2" skip AV,
+    # "nomm1" score replaced by a broadcast
+    ablate = os.environ.get("VFMSEG_FLASH_ABLATE", "")
+    # Experimental q chunking (VFMSEG_FLASH_QCHUNK=<width>, default off):
+    # splits each half's chain into <width>-lane sub-chains for finer
+    # MXU/VPU interleaving. Measured neutral-to-slightly-negative on v5e
+    # (refine 56.0 -> 51.2 TF/s at 512, stage-1 68.1 -> 71.2): tiles are
+    # 128-lane granular either way, so chunking buys no lane-padding
+    # savings, only scheduling granularity the compiler evidently already
+    # achieves with two chains. Kept as a knob; per-output-column
+    # accumulation order is unchanged (bit-identical) at any width.
+    qchunk = int(os.environ.get("VFMSEG_FLASH_QCHUNK", "0"))
+    if qchunk <= 0 or block_q <= qchunk:
+        bounds = [(0, block_q)]
+    else:
+        bounds = [(o, min(qchunk, block_q - o))
+                  for o in range(0, block_q, qchunk)]
+        if len(bounds) > 1 and bounds[-1][1] < 128:
+            # merge a sub-tile remainder into the final chunk: a 128-lane
+            # tile is the hardware granularity either way, and Mosaic
+            # rejects degenerate 1-lane matmul operands
+            (o2, s2), (o1, s1) = bounds.pop(), bounds.pop()
+            bounds.append((o1, s1 + s2))
+    qs = {}
     for hh in range(2):
-        q = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
-             * (scale * _LOG2E)).astype(qp.dtype)
-        acc = jnp.zeros((head_dim + 1, block_q), dtype=jnp.float32)
-        for j in range(num_kv):
-            masked = has_tail and j == num_kv - 1
-            k = k_ref[0, pl.ds(j * block_k, block_k),
-                      hh * head_dim:(hh + 1) * head_dim]
-            v = v_ref[0, pl.ds(j * block_k, block_k),
-                      hh * head_dim:(hh + 1) * head_dim]
-            if masked:
-                kv_row = j * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, k.shape, 0)
-                k = jnp.where(kv_row < kv_len, k, 0)
-                v = jnp.where(kv_row < kv_len, v, 0)
-            st = jax.lax.dot_general(
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [bk, bq]
-            if masked:
-                row = j * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, st.shape, 0)
-                st = jnp.where(row < kv_len, st, _NEG_INF)
-            p = jnp.exp2(st)
-            v_aug = jnp.concatenate(
-                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
-            acc = acc + jax.lax.dot_general(
-                v_aug, p.astype(v.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [d+1, bq]
-        safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
-        o_ref[0, 0, hh, :, :] = (acc[:head_dim, :] / safe_l).astype(
-            o_ref.dtype)
+        qh = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
+              * (scale * _LOG2E)).astype(qp.dtype)
+        for (off, sz) in bounds:
+            qs[hh, off] = qh[off:off + sz, :]
+    chains = [(hh, off, sz) for hh in range(2) for (off, sz) in bounds]
+    accs = {(hh, off): jnp.zeros((head_dim + 1, sz), dtype=jnp.float32)
+            for (hh, off, sz) in chains}
+
+    def load(hh, j, masked):
+        k = k_ref[0, pl.ds(j * block_k, block_k),
+                  hh * head_dim:(hh + 1) * head_dim]
+        v = v_ref[0, pl.ds(j * block_k, block_k),
+                  hh * head_dim:(hh + 1) * head_dim]
+        if masked:
+            kv_row = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, k.shape, 0)
+            keep = kv_row < kv_len
+            k = jnp.where(keep, k, 0)
+            v = jnp.where(keep, v, 0)
+            ones = keep[:, :1].astype(v.dtype)
+        else:
+            ones = jnp.ones((v.shape[0], 1), v.dtype)
+        return k, v, jnp.concatenate([v, ones], axis=-1)
+
+    def score(hh, off, sz, k):
+        if ablate == "nomm1":
+            return jnp.broadcast_to(
+                jnp.zeros((k.shape[0], 1), jnp.float32), (k.shape[0], sz))
+        return jax.lax.dot_general(
+            k, qs[hh, off], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bk, sz]
+
+    def av(hh, off, sz, st, v_aug):
+        p = st if ablate == "noexp" else jnp.exp2(st)
+        if ablate == "nomm2":
+            accs[hh, off] = accs[hh, off] + p[:head_dim + 1, :sz]
+            return
+        if ablate == "nocast":
+            accs[hh, off] = accs[hh, off] + jax.lax.dot_general(
+                v_aug.astype(jnp.float32), p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return
+        accs[hh, off] = accs[hh, off] + jax.lax.dot_general(
+            v_aug, p.astype(v_aug.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [d+1, sz]
+
+    for j in range(num_kv):
+        masked = has_tail and j == num_kv - 1
+        if interleave:
+            tiles = [load(hh, j, masked) for hh in range(2)]
+            sts = [score(hh, off, sz, tiles[hh][0])
+                   for (hh, off, sz) in chains]
+            for (hh, off, sz), st in zip(chains, sts):
+                av(hh, off, sz, st, tiles[hh][2])
+        else:
+            for hh in range(2):
+                k, _v, v_aug = load(hh, j, masked)
+                for (off, sz) in bounds:
+                    av(hh, off, sz, score(hh, off, sz, k), v_aug)
+
+    for hh in range(2):
+        outs = []
+        for (off, sz) in bounds:
+            acc = accs[hh, off]
+            safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
+            outs.append((acc[:head_dim, :] / safe_l).astype(o_ref.dtype))
+        o_ref[0, 0, hh, :, :] = (
+            outs[0] if len(outs) == 1
+            else jnp.concatenate(outs, axis=1))
 
 
 def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
@@ -1148,14 +1230,28 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, *,
 def _fwd_kernel_hm_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                        kv_len: int, block_k: int):
     # transposed-AV no-max primal over separate [B, H, N, D] operands —
-    # same formulation as _fwd_kernel_qkv_tav (see its docstring)
+    # same formulation as _fwd_kernel_qkv_tav (see its docstring). One head
+    # per cell, so the interleaved dependency chains come from a
+    # lane-aligned SPLIT OF Q (two column halves of the transposed score
+    # tile) instead of the fused kernel's head pair: q-half A's exp2/cast
+    # runs under q-half B's matmuls. Each output column's accumulation
+    # order is unchanged — bit-identical to the serial schedule
+    # (VFMSEG_FLASH_INTERLEAVE=0). Tail kv rows use the masked-ones-column
+    # trick (zeroed k rows score 0, exp2(0)=1 multiplies an all-zero
+    # v_aug row) so the -inf pass over the score tile disappears.
     q = (q_ref[0, 0, :, :].astype(jnp.float32)
          * (scale * _LOG2E)).astype(q_ref.dtype)
     n, d = q.shape
     kv_pad = k_ref.shape[2]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
-    acc = jnp.zeros((d + 1, n), dtype=jnp.float32)
+    # lane-aligned split point (score lanes = q rows); no split under 256
+    na = (n // 2) // 128 * 128
+    interleave = (os.environ.get("VFMSEG_FLASH_INTERLEAVE", "1") != "0"
+                  and na >= 128)
+    qs = [q[:na, :], q[na:, :]] if interleave else [q]
+    accs = [jnp.zeros((d + 1, qq.shape[0]), dtype=jnp.float32)
+            for qq in qs]
     for j in range(num_kv):
         masked = has_tail and j == num_kv - 1
         k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
@@ -1163,23 +1259,27 @@ def _fwd_kernel_hm_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         if masked:
             kv_row = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, k.shape, 0)
-            k = jnp.where(kv_row < kv_len, k, 0)
-            v = jnp.where(kv_row < kv_len, v, 0)
-        st = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bk, n]
-        if masked:
-            row = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, st.shape, 0)
-            st = jnp.where(row < kv_len, st, _NEG_INF)
-        p = jnp.exp2(st)
-        v_aug = jnp.concatenate(
-            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
-        acc = acc + jax.lax.dot_general(
-            v_aug, p.astype(v.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [d+1, n]
-    safe_l = jnp.maximum(acc[d:, :], 1e-37)
-    o_ref[0, 0, :, :] = (acc[:d, :] / safe_l).astype(o_ref.dtype)
+            keep = kv_row < kv_len
+            k = jnp.where(keep, k, 0)
+            v = jnp.where(keep, v, 0)
+            ones = keep[:, :1].astype(v.dtype)
+        else:
+            ones = jnp.ones((v.shape[0], 1), v.dtype)
+        v_aug = jnp.concatenate([v, ones], axis=-1)
+        sts = [jax.lax.dot_general(
+            k, qq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for qq in qs]  # [bk, nq_i]
+        for i, st in enumerate(sts):
+            p = jnp.exp2(st)
+            accs[i] = accs[i] + jax.lax.dot_general(
+                v_aug, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [d+1, nq_i]
+    col = 0
+    for acc in accs:
+        safe_l = jnp.maximum(acc[d:, :], 1e-37)
+        o_ref[0, 0, :, col:col + acc.shape[1]] = (
+            acc[:d, :] / safe_l).astype(o_ref.dtype)
+        col += acc.shape[1]
 
 
 def _flash_forward_hm_tav(q, k, v, scale: float):
