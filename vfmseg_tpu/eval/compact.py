@@ -195,21 +195,33 @@ class CompactMsSlide:
                 delta = jnp.where(valid[:, None, None, None],
                                   refined - g_ctx, 0.0).astype(full.dtype)
                 inv_full = jnp.asarray(inv_tab)          # [H, W, 1] fp32
-                # fori_loop, not an unrolled Python chain: XLA aliases the
-                # loop carry in place, so each step touches only its own
-                # window region. The unrolled chain of k dynamic-update-
-                # slices measured ~0.6 ms per window (a full 637 MB
-                # base-buffer copy per step at bs8 1024x2048 fp32 —
-                # copy elision does not kick in across the chain)
+                inv_w = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+                    inv_full, (y, x, 0), (ch, cw, 1)))(ys, xs)
+                delta_scaled = delta.astype(jnp.float32) * inv_w
+                # The window-blend floor was measured across five
+                # formulations at the bs8/bucket-28 headline shape (v5e,
+                # fp32 base, incl. the cast): 4D fori DUS chain 14.1 ms,
+                # unrolled DUS chain ~17, lax.scatter_add (rectangular
+                # updates) 14.6, DMA Pallas kernel (ops/window_blend.py)
+                # 35.1, folded-lane [B,H,W*C] chain 85.9. The 4D loop is
+                # the floor and the default; VFMSEG_BLEND_IMPL=pallas
+                # keeps the kernel reachable for ablation.
+                import os as _os
 
+                from vfmseg_tpu.ops import window_blend
+                if (_os.environ.get("VFMSEG_BLEND_IMPL", "xla") == "pallas"
+                        and jax.default_backend() == "tpu"
+                        and window_blend.supports(
+                            boxes, self.crop, img_hw, full.shape[3])):
+                    return window_blend.blend_windows(
+                        base, delta_scaled, img_i, ys, xs)
+
+                # default: XLA loop (the carry aliases in place)
                 def blend(i, out):
                     region = jax.lax.dynamic_slice(
                         out, (img_i[i], ys[i], xs[i], 0),
                         (1, ch, cw, out.shape[3]))
-                    invw = jax.lax.dynamic_slice(
-                        inv_full, (ys[i], xs[i], 0), (ch, cw, 1))
-                    region = region + (delta[i].astype(jnp.float32)
-                                       * invw)[None]
+                    region = region + delta_scaled[i][None]
                     return jax.lax.dynamic_update_slice(
                         out, region, (img_i[i], ys[i], xs[i], 0))
 
