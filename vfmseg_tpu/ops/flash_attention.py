@@ -899,8 +899,8 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         pass in the kernel) with two [bk, d]-sized wheres and one
         [bk, 1] iota compare. exp2(0)=1 vs exp2(-inf)=0 only ever
         multiplies exact zeros, so outputs are bit-identical."""
-    qp = q_ref[0, :, :]                    # [bq, 2*head_dim]
-    block_q = qp.shape[0]
+    pack = q_ref.shape[0]                  # batch items per grid cell
+    block_q = q_ref.shape[1]
     kv_pad = k_ref.shape[1]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
@@ -918,6 +918,19 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     # achieves with two chains. Kept as a knob; per-output-column
     # accumulation order is unchanged (bit-identical) at any width.
     qchunk = int(os.environ.get("VFMSEG_FLASH_QCHUNK", "0"))
+    # Canonical-orientation score experiment (VFMSEG_FLASH_QT=1; default
+    # OFF): dot_general(k [bk, d], q [sz, d]) contracts the MINOR (lane)
+    # dim of BOTH operands, so one might expect a per-cell q transpose to
+    # [d, sz] (making the score the canonical lhs-lanes x rhs-sublanes
+    # matmul k @ qT) to win. Measured: it LOSES — refine 1.62 -> 2.20 ms
+    # (74 -> 55 TF/s) in isolation and 153 -> 3780 ms per bs28 group
+    # inside the jitted ViT-L backbone (v5e, RTT-subtracted chains;
+    # products are bit-identical either way). Mosaic evidently folds the
+    # minor-minor contraction into the MXU feed for free, while the
+    # explicit [n, 64] -> [64, n] transpose materializes a relayout that
+    # the in-model scheduler serializes badly. Kept as a knob so the A/B
+    # stays one env var away.
+    q_t = os.environ.get("VFMSEG_FLASH_QT", "0") != "0"
     if qchunk <= 0 or block_q <= qchunk:
         bounds = [(0, block_q)]
     else:
@@ -930,19 +943,23 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             (o2, s2), (o1, s1) = bounds.pop(), bounds.pop()
             bounds.append((o1, s1 + s2))
     qs = {}
-    for hh in range(2):
-        qh = (qp[:, hh * head_dim:(hh + 1) * head_dim].astype(jnp.float32)
-              * (scale * _LOG2E)).astype(qp.dtype)
-        for (off, sz) in bounds:
-            qs[hh, off] = qh[off:off + sz, :]
-    chains = [(hh, off, sz) for hh in range(2) for (off, sz) in bounds]
-    accs = {(hh, off): jnp.zeros((head_dim + 1, sz), dtype=jnp.float32)
-            for (hh, off, sz) in chains}
+    for bb in range(pack):
+        for hh in range(2):
+            qh = (q_ref[bb, :, hh * head_dim:(hh + 1) * head_dim]
+                  .astype(jnp.float32)
+                  * (scale * _LOG2E)).astype(q_ref.dtype)
+            for (off, sz) in bounds:
+                qs[bb, hh, off] = (qh[off:off + sz, :].T if q_t
+                                   else qh[off:off + sz, :])
+    chains = [(bb, hh, off, sz) for bb in range(pack) for hh in range(2)
+              for (off, sz) in bounds]
+    accs = {(bb, hh, off): jnp.zeros((head_dim + 1, sz), dtype=jnp.float32)
+            for (bb, hh, off, sz) in chains}
 
-    def load(hh, j, masked):
-        k = k_ref[0, pl.ds(j * block_k, block_k),
+    def load(bb, hh, j, masked):
+        k = k_ref[bb, pl.ds(j * block_k, block_k),
                   hh * head_dim:(hh + 1) * head_dim]
-        v = v_ref[0, pl.ds(j * block_k, block_k),
+        v = v_ref[bb, pl.ds(j * block_k, block_k),
                   hh * head_dim:(hh + 1) * head_dim]
         if masked:
             kv_row = j * block_k + jax.lax.broadcasted_iota(
@@ -955,51 +972,59 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             ones = jnp.ones((v.shape[0], 1), v.dtype)
         return k, v, jnp.concatenate([v, ones], axis=-1)
 
-    def score(hh, off, sz, k):
+    def score(bb, hh, off, sz, k):
         if ablate == "nomm1":
             return jnp.broadcast_to(
                 jnp.zeros((k.shape[0], 1), jnp.float32), (k.shape[0], sz))
+        if q_t:
+            return jax.lax.dot_general(
+                k, qs[bb, hh, off], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, sz]
         return jax.lax.dot_general(
-            k, qs[hh, off], (((1,), (1,)), ((), ())),
+            k, qs[bb, hh, off], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bk, sz]
 
-    def av(hh, off, sz, st, v_aug):
+    def av(bb, hh, off, sz, st, v_aug):
         p = st if ablate == "noexp" else jnp.exp2(st)
         if ablate == "nomm2":
-            accs[hh, off] = accs[hh, off] + p[:head_dim + 1, :sz]
+            accs[bb, hh, off] = accs[bb, hh, off] + p[:head_dim + 1, :sz]
             return
         if ablate == "nocast":
-            accs[hh, off] = accs[hh, off] + jax.lax.dot_general(
+            accs[bb, hh, off] = accs[bb, hh, off] + jax.lax.dot_general(
                 v_aug.astype(jnp.float32), p, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return
-        accs[hh, off] = accs[hh, off] + jax.lax.dot_general(
+        accs[bb, hh, off] = accs[bb, hh, off] + jax.lax.dot_general(
             v_aug, p.astype(v_aug.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [d+1, sz]
 
     for j in range(num_kv):
         masked = has_tail and j == num_kv - 1
         if interleave:
-            tiles = [load(hh, j, masked) for hh in range(2)]
-            sts = [score(hh, off, sz, tiles[hh][0])
-                   for (hh, off, sz) in chains]
-            for (hh, off, sz), st in zip(chains, sts):
-                av(hh, off, sz, st, tiles[hh][2])
+            tiles = {(bb, hh): load(bb, hh, j, masked)
+                     for bb in range(pack) for hh in range(2)}
+            sts = [score(bb, hh, off, sz, tiles[bb, hh][0])
+                   for (bb, hh, off, sz) in chains]
+            for (bb, hh, off, sz), st in zip(chains, sts):
+                av(bb, hh, off, sz, st, tiles[bb, hh][2])
         else:
-            for hh in range(2):
-                k, _v, v_aug = load(hh, j, masked)
-                for (off, sz) in bounds:
-                    av(hh, off, sz, score(hh, off, sz, k), v_aug)
+            for bb in range(pack):
+                for hh in range(2):
+                    k, _v, v_aug = load(bb, hh, j, masked)
+                    for (off, sz) in bounds:
+                        av(bb, hh, off, sz,
+                           score(bb, hh, off, sz, k), v_aug)
 
-    for hh in range(2):
-        outs = []
-        for (off, sz) in bounds:
-            acc = accs[hh, off]
-            safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
-            outs.append((acc[:head_dim, :] / safe_l).astype(o_ref.dtype))
-        o_ref[0, 0, hh, :, :] = (
-            outs[0] if len(outs) == 1
-            else jnp.concatenate(outs, axis=1))
+    for bb in range(pack):
+        for hh in range(2):
+            outs = []
+            for (off, sz) in bounds:
+                acc = accs[bb, hh, off]
+                safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
+                outs.append((acc[:head_dim, :] / safe_l).astype(o_ref.dtype))
+            o_ref[bb, 0, hh, :, :] = (
+                outs[0] if len(outs) == 1
+                else jnp.concatenate(outs, axis=1))
 
 
 def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
@@ -1015,23 +1040,31 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     h2 = num_heads // 2
     _, block_k = _blocks(n, n)
     kvp = _round_up(n, block_k)
-    grid = (b, h2)
+    # Batch packing (VFMSEG_FLASH_PACK, default 1): a grid cell covers
+    # `pack` batch items, amortizing per-cell fixed costs (q scale/cast/
+    # transpose setup, grid sequencing) over pack x the matmul work. VMEM
+    # holds pack x 2 live score tiles under the interleaved schedule, so
+    # keep pack * n^2 fp32 well inside the 100 MB scoped budget.
+    pack = int(os.environ.get("VFMSEG_FLASH_PACK", "1"))
+    if pack <= 1 or b % pack or pack * 2 * n * kvp * 4 > 64 * 1024 * 1024:
+        pack = 1
+    grid = (b // pack, h2)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv_tav, scale=scale, kv_len=n,
                           block_k=block_k, head_dim=d),
         compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, 2 * d), lambda bi, hi: (bi, 0, hi),
+            pl.BlockSpec((pack, n, 2 * d), lambda bi, hi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvp, 2 * d),
+            pl.BlockSpec((pack, kvp, 2 * d),
                          lambda bi, hi: (bi, 0, h2 + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvp, 2 * d),
+            pl.BlockSpec((pack, kvp, 2 * d),
                          lambda bi, hi: (bi, 0, 2 * h2 + hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 2, d, n),
+        out_specs=pl.BlockSpec((pack, 1, 2, d, n),
                                lambda bi, hi: (bi, hi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, n), qkv.dtype),
@@ -1249,8 +1282,14 @@ def _fwd_kernel_hm_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     na = (n // 2) // 128 * 128
     interleave = (os.environ.get("VFMSEG_FLASH_INTERLEAVE", "1") != "0"
                   and na >= 128)
+    # canonical-orientation experiment (see _fwd_kernel_qkv_tav: measured
+    # SLOWER in isolation and in-model; default off, knob kept for A/B)
+    q_t = os.environ.get("VFMSEG_FLASH_QT", "0") != "0"
     qs = [q[:na, :], q[na:, :]] if interleave else [q]
-    accs = [jnp.zeros((d + 1, qq.shape[0]), dtype=jnp.float32)
+    if q_t:
+        qs = [qq.T for qq in qs]                         # [d, nq_i]
+    accs = [jnp.zeros((d + 1, qq.shape[-1] if q_t else qq.shape[0]),
+                      dtype=jnp.float32)
             for qq in qs]
     for j in range(num_kv):
         masked = has_tail and j == num_kv - 1
@@ -1267,7 +1306,7 @@ def _fwd_kernel_hm_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             ones = jnp.ones((v.shape[0], 1), v.dtype)
         v_aug = jnp.concatenate([v, ones], axis=-1)
         sts = [jax.lax.dot_general(
-            k, qq, (((1,), (1,)), ((), ())),
+            k, qq, (((1,), (0 if q_t else 1,)), ((), ())),
             preferred_element_type=jnp.float32) for qq in qs]  # [bk, nq_i]
         for i, st in enumerate(sts):
             p = jnp.exp2(st)
