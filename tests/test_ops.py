@@ -375,6 +375,24 @@ class TestLayerNorm:
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("shape", [(2, 64, 96), (2, 65, 96),
+                                       (3, 5, 33, 96), (130, 96)])
+    def test_pallas_ln_shape_branches(self, shape):
+        """Aligned rows take the 2D flatten; unaligned [.., N, C] with
+        N % 8 != 0 take the native-3D kernel. Both must match reference."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.norm import _ln, _ln_reference
+
+        x = _rand(70, shape)
+        scale = _rand(71, (96,)) * 0.1 + 1.0
+        bias = _rand(72, (96,)) * 0.1
+        with pltpu.force_tpu_interpret_mode():
+            y = _ln(x, scale, bias, 1e-6)
+        ref = _ln_reference(x, scale, bias, 1e-6)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_ln_grad_matches_flax(self):
         import flax.linen as nn
 
