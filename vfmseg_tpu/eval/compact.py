@@ -172,7 +172,12 @@ class CompactMsSlide:
             inv_tab = _coverage_inv(tuple(boxes), (ch, cw), tuple(img_hw))
 
             def fn(variables, img, full, idx_valid):
-                base = full.astype(jnp.float32)
+                # Blend in the model's compute dtype (AMP posture): bf16
+                # halves the HBM traffic of the k chained window adds and
+                # of every downstream full-map pass; fp32 tiny models in
+                # the test suite keep exact dense==compact equality. The
+                # per-window delta*coverage product itself stays fp32.
+                base = full
                 if k == 0:
                     return base
                 b = img.shape[0]
@@ -197,7 +202,8 @@ class CompactMsSlide:
                 inv_full = jnp.asarray(inv_tab)          # [H, W, 1] fp32
                 inv_w = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
                     inv_full, (y, x, 0), (ch, cw, 1)))(ys, xs)
-                delta_scaled = delta.astype(jnp.float32) * inv_w
+                delta_scaled = (delta.astype(jnp.float32)
+                                * inv_w).astype(base.dtype)
                 # The window-blend floor was measured across five
                 # formulations at the bs8/bucket-28 headline shape (v5e,
                 # fp32 base, incl. the cast): 4D fori DUS chain 14.1 ms,
@@ -211,6 +217,7 @@ class CompactMsSlide:
                 from vfmseg_tpu.ops import window_blend
                 if (_os.environ.get("VFMSEG_BLEND_IMPL", "xla") == "pallas"
                         and jax.default_backend() == "tpu"
+                        and base.dtype == jnp.float32
                         and window_blend.supports(
                             boxes, self.crop, img_hw, full.shape[3])):
                     return window_blend.blend_windows(
