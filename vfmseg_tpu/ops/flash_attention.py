@@ -1038,14 +1038,24 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
-    _, block_k = _blocks(n, n)
+    explicit = any(k in os.environ for k in (
+        "VFMSEG_FLASH_BLOCK", "VFMSEG_FLASH_BLOCK_Q", "VFMSEG_FLASH_BLOCK_K"))
+    if not explicit and n >= 1000:
+        # TAV-specific policy: at ViT eval lengths a 3-way kv split beats
+        # both the single whole-sequence block and the 2x1032 policy under
+        # the interleaved-halves schedule (v5e sweep: refine n=1025
+        # 54.0 -> 56.0 TF/s with bk=344, stage-1 n=2049 69.6 -> 72.0 with
+        # bk=688) — smaller granules overlap the two halves' phases better.
+        block_k = _round_up(-(-_round_up(n, 8) // 3), 8)
+    else:
+        _, block_k = _blocks(n, n)
     kvp = _round_up(n, block_k)
     # Batch packing (VFMSEG_FLASH_PACK, default 1): a grid cell covers
     # `pack` batch items, amortizing per-cell fixed costs (q scale/cast/
     # transpose setup, grid sequencing) over pack x the matmul work. VMEM
     # holds pack x 2 live score tiles under the interleaved schedule, so
     # keep pack * n^2 fp32 well inside the 100 MB scoped budget.
-    pack = int(os.environ.get("VFMSEG_FLASH_PACK", "1"))
+    pack = int(os.environ.get("VFMSEG_FLASH_PACK", "2"))
     if pack <= 1 or b % pack or pack * 2 * n * kvp * 4 > 64 * 1024 * 1024:
         pack = 1
     grid = (b // pack, h2)
