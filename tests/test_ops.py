@@ -455,6 +455,28 @@ class TestFlashQKVDirect:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_qkv_tav_batch_packing(self):
+        """The TAV primal packs several batch items into one grid cell
+        (default VFMSEG_FLASH_PACK=4, falling back to the largest divisor
+        of b). Verify packed cells (b=4 -> one cell per head pair) and the
+        divisor fallback (b=6 -> pack 3) both match XLA."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+        h, d = 2, 16
+        for b in (4, 6):
+            n = 37
+            qkv = _rand(80 + b, (b, n, 3 * h * d))
+            with pltpu.force_tpu_interpret_mode():
+                out = flash_attention_qkv_tm(qkv, h)
+            qkv_r = qkv.reshape(b, n, 3, h, d)
+            ref = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1],
+                                qkv_r[:, :, 2])
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+                rtol=2e-4, atol=2e-4)
+
     def test_qkv_primal_no_max_large_logits(self):
         """The inference primal drops the softmax running max (flash kernel
         no_max path) — verify it stays finite and XLA-exact at attention

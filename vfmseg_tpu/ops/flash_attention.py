@@ -1050,14 +1050,31 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     else:
         _, block_k = _blocks(n, n)
     kvp = _round_up(n, block_k)
-    # Batch packing (VFMSEG_FLASH_PACK, default 1): a grid cell covers
-    # `pack` batch items, amortizing per-cell fixed costs (q scale/cast/
-    # transpose setup, grid sequencing) over pack x the matmul work. VMEM
-    # holds pack x 2 live score tiles under the interleaved schedule, so
-    # keep pack * n^2 fp32 well inside the 100 MB scoped budget.
-    pack = int(os.environ.get("VFMSEG_FLASH_PACK", "2"))
-    if pack <= 1 or b % pack or pack * 2 * n * kvp * 4 > 64 * 1024 * 1024:
-        pack = 1
+    # Batch packing (VFMSEG_FLASH_PACK, default 4): a grid cell covers
+    # `pack` batch items, amortizing per-cell fixed costs (q scale/cast
+    # setup, grid sequencing, sub-roofline ramp of each chain's matmuls)
+    # over pack x the work. v5e sweep at the refine shape (28x1025):
+    # pack 2 -> 48.0 TF/s, pack 4 -> 59.7, pack 7 -> 54.9. The budget
+    # check models every per-pack VMEM resident under the interleaved
+    # schedule — double-buffered q/k/v/out pipeline blocks, 2 in-flight
+    # fp32 score tiles of [block_k, n] + their bf16 exp2 casts, the
+    # scaled q copies, fp32 accumulators, and the k/v/v_aug granules —
+    # with a 1.3x Mosaic-overhead fudge calibrated against a measured
+    # stage-1 OOM (n=2049 pack=4 wanted 111.6 MB; the model x1.3 says
+    # 121 MB; without the fudge it under-predicted at 93 MB). Fallback
+    # steps to the largest divisor of b that fits instead of collapsing
+    # to 1 (refine buckets are even, so odd tails still pack pairs).
+    itemsize = qkv.dtype.itemsize
+    per_pack = (
+        2 * (n * 2 * d + 2 * kvp * 2 * d + 2 * d * n) * itemsize  # pipeline
+        + 2 * block_k * n * (4 + itemsize)   # score tiles fp32 + p casts
+        + 2 * n * d * itemsize               # scaled q
+        + 2 * (d + 1) * n * 4                # accumulators
+        + 2 * block_k * (3 * d + 1) * itemsize)  # k/v/v_aug granules
+    budget = int(0.94 * _VMEM_LIMIT.vmem_limit_bytes / 1.3)
+    pack = int(os.environ.get("VFMSEG_FLASH_PACK", "4"))
+    while pack > 1 and (b % pack or pack * per_pack > budget):
+        pack -= 1
     grid = (b // pack, h2)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv_tav, scale=scale, kv_len=n,
