@@ -153,6 +153,86 @@ def main():
     report("rmw_expanded_aligned_xy",
            time_chain(rmw_expanded_xy, 8, base, delta))
 
+    # --- round-3 variants: is the ~0.5 ms/window floor a full-carry
+    # ping-pong? All prior variants carry the whole [G, H, W, C] buffer
+    # through the fori_loop; these shrink or eliminate the dynamic carry.
+
+    # (a) dtype bracket: production blends in bf16 — does traffic halve?
+    base16 = base.astype(jnp.bfloat16)
+    delta16 = delta.astype(jnp.bfloat16)
+    report("rmw_chain_bf16", time_chain(make_rmw(gi, ys, xs), 8,
+                                        base16, delta16))
+
+    # (b) per-image carries: the loop carry drops to [H, W, C] (1/G the
+    # bytes); windows are distributed statically (K/G + pad per image) so
+    # every shape stays static. If the per-iteration cost is a carry
+    # ping-pong, this is ~G x cheaper per window.
+    per_img = -(-K // G)
+
+    def per_image(b, d, acc):
+        b = dep(b, acc)
+        outs = []
+        for g in range(G):
+            def body(i, out, g=g):
+                w = g * per_img + i
+                wi = jnp.minimum(w, K - 1)
+                dd = jnp.where(w < K, d[wi], 0).astype(d.dtype)
+                r = jax.lax.dynamic_slice(out, (ys[wi], xs[wi], 0),
+                                          (CH, CW, C))
+                return jax.lax.dynamic_update_slice(
+                    out, r + dd, (ys[wi], xs[wi], 0))
+
+            outs.append(jax.lax.fori_loop(0, per_img, body, b[g]))
+        return out_sum(jnp.stack(outs))
+
+    report("per_image_chain", time_chain(per_image, 8, base, delta))
+
+    # (c) dense row-scatter + static position adds: scatter the K deltas
+    # into a zeroed [nb * G, CH, CW, C] row layout (unique leading-dim
+    # rows — one efficient scatter), then add each grid position's
+    # [G, CH, CW, C] slab at its STATIC (y, x) — no dynamic indices, no
+    # serial chain, 18 fusible adds.
+    box_j = jnp.asarray([i % nb for i in idx], jnp.int32)
+
+    def dense_static(b, d, acc):
+        b = dep(b, acc)
+        rows_i = box_j * G + gi
+        dense = jnp.zeros((nb * G, CH, CW, C), d.dtype)
+        dense = dense.at[rows_i].set(d)
+        dense = dense.reshape(nb, G, CH, CW, C)
+        out = b
+        for j, (y1, x1) in enumerate(boxes):
+            out = out.at[:, y1:y1 + CH, x1:x1 + CW, :].add(dense[j])
+        return out_sum(out)
+
+    report("dense_static_posadds", time_chain(dense_static, 8, base, delta))
+    report("dense_static_posadds_bf16",
+           time_chain(dense_static, 8, base16, delta16))
+
+    # (d) position-major chain: python loop over the 18 STATIC (y, x)
+    # grid positions, inner fori only over a small padded per-position
+    # count with a dynamic index in the image dim alone.
+    per_pos = -(-K // nb) + 1
+
+    def pos_major(b, d, acc):
+        b = dep(b, acc)
+        out = b
+        for j, (y1, x1) in enumerate(boxes):
+            def body(i, o, j=j, y1=y1, x1=x1):
+                w = j * per_pos + i
+                wi = jnp.minimum(w, K - 1)
+                hit = (w < K) & (box_j[wi] == j)
+                dd = jnp.where(hit, d[wi], 0).astype(d.dtype)[None]
+                r = jax.lax.dynamic_slice(o, (gi[wi], y1, x1, 0),
+                                          (1, CH, CW, C))
+                return jax.lax.dynamic_update_slice(
+                    o, r + dd, (gi[wi], y1, x1, 0))
+
+            out = jax.lax.fori_loop(0, per_pos, body, out)
+        return out_sum(out)
+
+    report("pos_major_chain", time_chain(pos_major, 8, base, delta))
+
     with open("/tmp/blend_variants.json", "w") as f:
         json.dump(rows, f, indent=1)
 

@@ -171,7 +171,7 @@ class CompactMsSlide:
             xs_tab = np.asarray([x for (_, x) in boxes], np.int32)
             inv_tab = _coverage_inv(tuple(boxes), (ch, cw), tuple(img_hw))
 
-            def fn(variables, img, full, idx_valid):
+            def fn(variables, img, full, confidence, real):
                 # Blend in the model's compute dtype (AMP posture): bf16
                 # halves the HBM traffic of the k chained window adds and
                 # of every downstream full-map pass; fp32 tiny models in
@@ -181,7 +181,31 @@ class CompactMsSlide:
                 if k == 0:
                     return base
                 b = img.shape[0]
-                idx, valid = idx_valid[:k], idx_valid[k:] > 0
+                # Window selection runs ON DEVICE from the stage-1
+                # confidence vector: the host only picks the bucket size k
+                # from its (pipelined) readback. The previous design
+                # shipped the selected indices back down as a [2k] int32
+                # H2D transfer every group — ~26 ms of un-hideable
+                # round-trip per group on the high-latency relay, the
+                # single largest non-compute cost in the stream. top_k of
+                # the masked window ids reproduces np.nonzero exactly:
+                # ascending ids, padded with a sentinel when fewer than k
+                # windows need refinement (k always >= the true count —
+                # _bucket rounds up).
+                w_ids = jnp.arange(confidence.size, dtype=jnp.int32)
+                eligible = (w_ids % b) < real    # batch-pad images never refine
+                mask = (confidence < self.conf) & eligible
+                sentinel = jnp.int32(confidence.size)
+                vals = jnp.where(mask, w_ids, sentinel)
+                if k > vals.size:
+                    # tiny images: the bucket can round above the total
+                    # window count — pad with sentinels so top_k is legal
+                    vals = jnp.concatenate([
+                        vals,
+                        jnp.full((k - vals.size,), sentinel, jnp.int32)])
+                idx = -jax.lax.top_k(-vals, k)[0]     # k smallest, ascending
+                valid = idx < sentinel
+                idx = jnp.minimum(idx, sentinel - 1)  # clamp pad rows in-range
                 img_i = idx % b
                 box_j = idx // b
                 ys = jnp.asarray(ys_tab)[box_j]
@@ -242,12 +266,20 @@ class CompactMsSlide:
         h, w = img.shape[1], img.shape[2]
         full, confidence = self._stage1(variables, img, (h, w))
         conf_host = np.asarray(confidence)          # tiny readback
-        return self._finish(variables, img, full, conf_host)
+        return self._finish(variables, img, full, confidence, conf_host)
 
-    def _finish(self, variables, img, full, conf_host, real=None):
+    def _finish(self, variables, img, full, confidence, conf_host,
+                real=None):
+        """The host readback (`conf_host`) picks only the STATIC bucket
+        size k and feeds the gate stats; the actual window ids are
+        re-derived on device inside the finish jit from `confidence`
+        (same strict `< conf` test, same ascending order) so no per-group
+        H2D transfer rides the critical path."""
         h, w = img.shape[1], img.shape[2]
         g = img.shape[0]
-        if real is not None and real < g:
+        if real is None:
+            real = g
+        if real < g:
             # batch-pad images (sharded tail groups) must never refine or
             # count: windows are box-major, window i belongs to image i % g
             conf_host = conf_host.copy()
@@ -261,13 +293,8 @@ class CompactMsSlide:
         if k and self._nshard > 1:
             # refine batch shards over the data axis: pad to a multiple
             k = -(-k // self._nshard) * self._nshard
-        # one combined [2k] int32 host->device transfer (idx then validity) —
-        # small H2D transfers cost ~30 ms each on high-latency links
-        idx_valid = np.zeros(max(2 * k, 1), np.int32)
-        idx_valid[:len(need)] = need
-        idx_valid[k:k + len(need)] = 1
         logits = self._finish_fn(k, (h, w))(
-            variables, img, full, jnp.asarray(idx_valid))
+            variables, img, full, confidence, jnp.int32(real))
         return logits, len(need)
 
     def stream(self, variables, images, group: int = 4, depth: int = 2):
@@ -307,7 +334,7 @@ class CompactMsSlide:
         pending = deque()
 
         def finish(img, full, confidence, real):
-            logits, _n = self._finish(variables, img, full,
+            logits, _n = self._finish(variables, img, full, confidence,
                                       np.asarray(confidence), real=real)
             for i in range(real):
                 yield logits[i]
