@@ -244,13 +244,11 @@ def main():
         stage1_fn, args.iters, variables, img))
 
     fin = engine._finish_fn(k, (h, w))
-    idx_valid = np.zeros(2 * k, np.int32)
-    idx_valid[:k] = np.arange(k) % (nb * g)
-    idx_valid[k:] = 1
-    iv = jnp.asarray(idx_valid)
+    conf_vec = jnp.linspace(0.0, 1.0, nb * g)
+    real = jnp.int32(g)
 
     def finish_fn(v, im, f, acc):
-        out = fin.__wrapped__(v, dep(im, acc), f, iv)
+        out = fin.__wrapped__(v, dep(im, acc), f, conf_vec, real)
         return jnp.sum(out[:, ::257, ::257]).astype(jnp.float32)
 
     report(f"finish_total_k{k}", lambda: time_chain(

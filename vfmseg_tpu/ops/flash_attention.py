@@ -1034,7 +1034,61 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     output block must tile (8, 128) or span the array, and N is not a
     128-multiple at ViT lengths — spanning it sidesteps the constraint,
     and the whole-sequence score tile (<=8.5 MB fp32 at stage-1 lengths)
-    sits comfortably in VMEM."""
+    sits comfortably in VMEM.
+
+    Aligned-tail split: the q length is the LANE dim of every score tile,
+    exp2 pass, and AV output, so n = 1025 pads to 1152 lanes — 12.4% of
+    the kernel's MXU and VPU work computing garbage columns (6.2% at the
+    stage-1 length 2049). The kernel therefore computes only the first
+    n - (n % 128) queries (exactly aligned); the <=127 tail queries
+    (1 at ViT lengths: the extra cls token) attend via two trivial XLA
+    einsums over the same kv and concatenate onto the minor dim. kv keeps
+    all n rows in both parts — outputs are the same attention, the tail
+    rows merely use XLA's exact softmax instead of the kernel's exp2
+    formulation (both within bf16 matmul noise of each other).
+
+    Measured (v5e, bf16): refine shape 28x1025 59.3 -> 67.3 TF/s, but
+    stage-1 8x2049 72.2 -> 66.7 — the tail glue (two einsums + concat +
+    the [.., D, n_main] output no longer matching downstream layouts)
+    costs a fixed ~0.15 ms, worth paying only when the lane padding it
+    removes is large.
+
+    DEFAULT OFF (VFMSEG_FLASH_ALIGN_TAIL=1 opts in): embedded in the
+    full ViT-L refine graph the split path hard-crashes the TPU worker
+    ("kernel fault") at specific batch sizes — b=26 reproducibly, while
+    22/24/28 pass and the standalone kernel passes at ALL of those
+    sizes, so the fault lives in how XLA fuses the tail einsums/concat
+    around the pallas_call, not in the kernel or the tail math. A ~13%
+    kernel-level win on ~14% of model FLOPs (~2% end-to-end) is not
+    worth a bucket-size-dependent worker crash; revisit if the
+    fusion fault disappears in a newer compiler."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    h2 = num_heads // 2
+    tail = n % 128
+    use_split = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "0") == "1"
+    if tail and n > 128 and use_split:
+        n_main = n - tail
+        out_main = _flash_forward_qkv_tav_main(qkv, num_heads, scale, n_main)
+        hd = num_heads * d
+        q_t = (qkv[:, n_main:, :hd].astype(jnp.float32)
+               * scale).astype(qkv.dtype).reshape(b, tail, num_heads, d)
+        k_all = qkv[:, :, hd:2 * hd].reshape(b, n, num_heads, d)
+        v_all = qkv[:, :, 2 * hd:].reshape(b, n, num_heads, d)
+        s = jnp.einsum("bthd,bnhd->bhtn", q_t, k_all,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        o_tail = jnp.einsum("bhtn,bnhd->bhtd", p.astype(v_all.dtype), v_all,
+                            preferred_element_type=jnp.float32)
+        o_tail = (o_tail.astype(out_main.dtype)
+                  .reshape(b, h2, 2, tail, d).transpose(0, 1, 2, 4, 3))
+        return jnp.concatenate([out_main, o_tail], axis=-1)
+    return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n)
+
+
+def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
+                                nq: int):
+    """The TAV pallas_call over queries [0:nq] (kv spans all n rows)."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
@@ -1066,10 +1120,10 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     # to 1 (refine buckets are even, so odd tails still pack pairs).
     itemsize = qkv.dtype.itemsize
     per_pack = (
-        2 * (n * 2 * d + 2 * kvp * 2 * d + 2 * d * n) * itemsize  # pipeline
-        + 2 * block_k * n * (4 + itemsize)   # score tiles fp32 + p casts
-        + 2 * n * d * itemsize               # scaled q
-        + 2 * (d + 1) * n * 4                # accumulators
+        2 * (nq * 2 * d + 2 * kvp * 2 * d + 2 * d * nq) * itemsize  # pipeline
+        + 2 * block_k * nq * (4 + itemsize)  # score tiles fp32 + p casts
+        + 2 * nq * d * itemsize              # scaled q
+        + 2 * (d + 1) * nq * 4               # accumulators
         + 2 * block_k * (3 * d + 1) * itemsize)  # k/v/v_aug granules
     budget = int(0.94 * _VMEM_LIMIT.vmem_limit_bytes / 1.3)
     pack = int(os.environ.get("VFMSEG_FLASH_PACK", "4"))
@@ -1082,7 +1136,7 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
         compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pack, n, 2 * d), lambda bi, hi: (bi, 0, hi),
+            pl.BlockSpec((pack, nq, 2 * d), lambda bi, hi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pack, kvp, 2 * d),
                          lambda bi, hi: (bi, 0, h2 + hi),
@@ -1091,14 +1145,14 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
                          lambda bi, hi: (bi, 0, 2 * h2 + hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pack, 1, 2, d, n),
+        out_specs=pl.BlockSpec((pack, 1, 2, d, nq),
                                lambda bi, hi: (bi, hi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, n), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, nq), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * n * n * d,
+            flops=4 * b * num_heads * nq * n * d,
             bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
-            transcendentals=b * num_heads * n * n,
+            transcendentals=b * num_heads * nq * n,
         ),
     )(qkv, qkv, qkv)
 
