@@ -124,6 +124,17 @@ class CompactMsSlide:
             self._crop_sharding = None
             self._img_sharding = None
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(2,))
+        # stream fast path: accept the group as a TUPLE of per-image arrays
+        # and stack INSIDE the jit — the separate jnp.stack dispatch costs
+        # ~2.8 ms of host time per group on the high-latency relay. The
+        # stacked batch is returned so the finish fn consumes it without a
+        # second stack.
+        def _stage1_tuple_impl(variables, imgs, img_hw):
+            img = jnp.stack(imgs)
+            full, conf = self._stage1_impl(variables, img, img_hw)
+            return img, full, conf
+
+        self._stage1_tuple = jax.jit(_stage1_tuple_impl, static_argnums=(2,))
         self._refine: Dict[int, Callable] = {}
         self.reset_stats()
 
@@ -147,7 +158,8 @@ class CompactMsSlide:
         confidence = window_confidence(full, boxes, self.crop, self.threshold)
         return full, confidence
 
-    def _finish_fn(self, k: int, img_hw: Tuple[int, int]) -> Callable:
+    def _finish_fn(self, k: int, img_hw: Tuple[int, int],
+                   split: bool = False) -> Callable:
         """One fused jit per (refine-bucket, image size): gather the k
         low-confidence windows from the stage-1 map, refine, blend the
         deltas back (sparse-delta decomposition, module docstring). A
@@ -161,7 +173,7 @@ class CompactMsSlide:
         dense [G*B, ch, cw, C] window layout and ran the band-decomposed
         overlap-average over ALL G*B slots (zeros included) — 20.9 ms per
         bs8 group vs ~5 ms for the chained adds (v5e, bucket 28)."""
-        key = (k, img_hw)
+        key = (k, img_hw, split)
         if key not in self._refine:
             from vfmseg_tpu.eval.slide import _coverage_inv
 
@@ -258,6 +270,17 @@ class CompactMsSlide:
 
                 return jax.lax.fori_loop(0, k, blend, base)
 
+            if split:
+                inner = fn
+
+                def fn(variables, img, full, confidence, real):
+                    out = inner(variables, img, full, confidence, real)
+                    # one jit output buffer per image: the stream's
+                    # per-image yields hand out finished buffers instead of
+                    # dispatching g slice ops per group (~0.45 ms each on
+                    # the high-latency relay)
+                    return tuple(out[i] for i in range(out.shape[0]))
+
             self._refine[key] = jax.jit(fn)
         return self._refine[key]
 
@@ -269,7 +292,7 @@ class CompactMsSlide:
         return self._finish(variables, img, full, confidence, conf_host)
 
     def _finish(self, variables, img, full, confidence, conf_host,
-                real=None):
+                real=None, split=False):
         """The host readback (`conf_host`) picks only the STATIC bucket
         size k and feeds the gate stats; the actual window ids are
         re-derived on device inside the finish jit from `confidence`
@@ -293,7 +316,7 @@ class CompactMsSlide:
         if k and self._nshard > 1:
             # refine batch shards over the data axis: pad to a multiple
             k = -(-k // self._nshard) * self._nshard
-        logits = self._finish_fn(k, (h, w))(
+        logits = self._finish_fn(k, (h, w), split)(
             variables, img, full, confidence, jnp.int32(real))
         return logits, len(need)
 
@@ -320,7 +343,7 @@ class CompactMsSlide:
             for im in images:
                 buf.append(im)
                 if len(buf) == group:
-                    yield jnp.stack(buf), group
+                    yield buf, group
                     buf = []
             if buf:
                 real = len(buf)
@@ -329,21 +352,27 @@ class CompactMsSlide:
                     # axis; padded rows are dropped before yielding
                     buf += [buf[-1]] * (-(-real // self._nshard)
                                         * self._nshard - real)
-                yield jnp.stack(buf), real
+                yield buf, real
 
         pending = deque()
 
         def finish(img, full, confidence, real):
             logits, _n = self._finish(variables, img, full, confidence,
-                                      np.asarray(confidence), real=real)
+                                      np.asarray(confidence), real=real,
+                                      split=True)
             for i in range(real):
                 yield logits[i]
 
-        for img, real in chunks():
+        for buf, real in chunks():
+            h, w = buf[0].shape[0], buf[0].shape[1]
             if self._img_sharding is not None:
-                img = jax.device_put(img, self._img_sharding)
-            h, w = img.shape[1], img.shape[2]
-            full, confidence = self._stage1(variables, img, (h, w))
+                img = jax.device_put(jnp.stack(buf), self._img_sharding)
+                full, confidence = self._stage1(variables, img, (h, w))
+            else:
+                # single dispatch: stack + stage-1 fused in one jit, the
+                # stacked batch returned for the finish fn
+                img, full, confidence = self._stage1_tuple(
+                    variables, tuple(buf), (h, w))
             # start the tiny gate readback NOW so it rides along while later
             # groups dispatch — np.asarray at pop time then returns
             # immediately instead of paying the relay round-trip

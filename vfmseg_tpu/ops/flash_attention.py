@@ -1058,10 +1058,13 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     ("kernel fault") at specific batch sizes — b=26 reproducibly, while
     22/24/28 pass and the standalone kernel passes at ALL of those
     sizes, so the fault lives in how XLA fuses the tail einsums/concat
-    around the pallas_call, not in the kernel or the tail math. A ~13%
-    kernel-level win on ~14% of model FLOPs (~2% end-to-end) is not
-    worth a bucket-size-dependent worker crash; revisit if the
-    fusion fault disappears in a newer compiler."""
+    around the pallas_call, not in the kernel or the tail math.
+    Fencing the tail with jax.lax.optimization_barrier (kept below) did
+    NOT clear the fault (tools/repro_align_tail.py still takes down the
+    worker), so the offending interaction is deeper than simple
+    producer/consumer fusion. A ~13% kernel-level win on ~14% of model
+    FLOPs (~2% end-to-end) is not worth a bucket-size-dependent worker
+    crash; revisit if the fault disappears in a newer compiler."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
@@ -1070,11 +1073,19 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     if tail and n > 128 and use_split:
         n_main = n - tail
         out_main = _flash_forward_qkv_tav_main(qkv, num_heads, scale, n_main)
+        # optimization_barrier fences the tail einsums from the pallas_call:
+        # without it XLA fuses the qkv slices/einsums/concat into the same
+        # computation as the kernel's operand pipeline, which faulted the
+        # TPU worker at specific batch sizes (b=26; see docstring). The
+        # barrier forces the tail to read a materialized qkv copy of its
+        # slices and the concat to consume finished buffers — the fixed
+        # cost is ~the 0.15 ms tail glue already accounted for.
+        qkv_t = jax.lax.optimization_barrier(qkv)
         hd = num_heads * d
-        q_t = (qkv[:, n_main:, :hd].astype(jnp.float32)
+        q_t = (qkv_t[:, n_main:, :hd].astype(jnp.float32)
                * scale).astype(qkv.dtype).reshape(b, tail, num_heads, d)
-        k_all = qkv[:, :, hd:2 * hd].reshape(b, n, num_heads, d)
-        v_all = qkv[:, :, 2 * hd:].reshape(b, n, num_heads, d)
+        k_all = qkv_t[:, :, hd:2 * hd].reshape(b, n, num_heads, d)
+        v_all = qkv_t[:, :, 2 * hd:].reshape(b, n, num_heads, d)
         s = jnp.einsum("bthd,bnhd->bhtn", q_t, k_all,
                        preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1)
@@ -1082,6 +1093,7 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
                             preferred_element_type=jnp.float32)
         o_tail = (o_tail.astype(out_main.dtype)
                   .reshape(b, h2, 2, tail, d).transpose(0, 1, 2, 4, 3))
+        out_main, o_tail = jax.lax.optimization_barrier((out_main, o_tail))
         return jnp.concatenate([out_main, o_tail], axis=-1)
     return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n)
 
