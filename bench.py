@@ -202,7 +202,11 @@ def main():
                          "sanity runs); default dg_lora_dinov2_ms_masked, "
                          "or the reference UDA segformer config in "
                          "--mode uda")
-    ap.add_argument("--images", type=int, default=32)
+    # 128 images (16 stream groups) measures steady-state throughput: the
+    # ~80 ms pipeline fill/drain transient is ~7% of a 4-group run but <2%
+    # here, and real eval workloads (Cityscapes val = 500 images) run far
+    # past fill. Single-image modes (dense/train/uda) ignore group math.
+    ap.add_argument("--images", type=int, default=128)
     ap.add_argument("--group", type=int, default=8,
                     help="stage-1 batch (compact mode)")
     ap.add_argument("--depth", type=int, default=3,

@@ -36,6 +36,21 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_mha_same_shape_routes_qkv_tm_interpret(self):
+        """multi_head_attention packs same-shape q/k/v (decoder self/cross
+        attention, d=64) into the fused-qkv TAV primal; outputs must match
+        the XLA path."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.attention import multi_head_attention
+
+        q, k, v = (_rand(i + 40, (2, 130, 2, 64)) for i in range(3))
+        with pltpu.force_tpu_interpret_mode():
+            out = multi_head_attention(q, k, v, impl="pallas")
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_flash_relpos_matches_xla_decomposed_interpret(self):
         """SAM separable rel-pos flash kernel (bias tile rebuilt in-kernel
         from the k-separable terms) vs the XLA decomposed formulation, at a

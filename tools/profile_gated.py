@@ -196,6 +196,33 @@ def main():
         ).astype(jnp.float32),
         args.iters, variables, crops, ctx))
 
+    # hr head alone (backbone feats precomputed) + the final resize alone —
+    # hr_forward_full minus backbone_hr is ~13 ms/group; this splits it
+    def head_method(m, f, c):
+        return m.aux_head(f, c, train=False, mask_enable=False)
+
+    feats28 = jax.jit(lambda v, x: feats_fn(v, x))(variables, crops)
+    feats28 = jax.tree.map(lambda t: jnp.asarray(t), feats28)
+
+    def head_fn(v, ft, c, acc):
+        ft = jax.tree.map(lambda t: dep(t, acc), ft)
+        out = model.apply(v, ft, c, method=head_method)
+        return jnp.sum(out[:, ::31, ::31]).astype(jnp.float32)
+
+    report(f"aux_head_only_{k}", lambda: time_chain(
+        head_fn, args.iters, variables, feats28, ctx))
+
+    head_logits_shape = jax.eval_shape(
+        lambda v, ft, c: model.apply(v, ft, c, method=head_method),
+        variables, feats28, ctx)
+    hl = jax.random.normal(jax.random.PRNGKey(6), head_logits_shape.shape,
+                           dtype)
+    report(f"hr_final_resize_{tuple(head_logits_shape.shape)}", lambda: time_chain(
+        lambda x, acc: jnp.sum(resize(dep(x, acc), size=crop,
+                                      method="bilinear")[:, ::97, ::97]
+                               ).astype(jnp.float32),
+        args.iters, hl))
+
     # ---- finish pieces -------------------------------------------------
     idx = jnp.arange(k, dtype=jnp.int32)
 
@@ -226,6 +253,27 @@ def main():
         return jnp.sum(base[:, ::97, ::97]).astype(jnp.float32)
 
     report("base_cast_fp32", lambda: time_chain(base_add_fn, args.iters, full))
+
+    # the production blend: k chained dynamic-slice adds on the bf16 base
+    ys_b = jnp.asarray([boxes[i % nb][0] for i in range(k)], jnp.int32)
+    xs_b = jnp.asarray([boxes[i % nb][1] for i in range(k)], jnp.int32)
+    gi_b = idx % g
+
+    def blend_fn(f, d, acc):
+        out0 = dep(f, acc)
+        dd = dep(d, acc)
+
+        def body(i, out):
+            r = jax.lax.dynamic_slice(
+                out, (gi_b[i], ys_b[i], xs_b[i], 0), (1, ch, cw, 19))
+            return jax.lax.dynamic_update_slice(
+                out, r + dd[i][None], (gi_b[i], ys_b[i], xs_b[i], 0))
+
+        out = jax.lax.fori_loop(0, k, body, out0)
+        return jnp.sum(out[:, ::257, ::257]).astype(jnp.float32)
+
+    report(f"blend_chain_{k}_bf16", lambda: time_chain(
+        blend_fn, args.iters, full, delta))
 
     # ---- whole phases as the engine runs them ---------------------------
     engine = CompactMsSlide(

@@ -274,6 +274,22 @@ def multi_head_attention(
     # does, only bias/dbias.
     if impl in ("pallas", "pallas_bias") and (bias is None
                                               or impl == "pallas_bias"):
+        if (bias is None and q.shape == k.shape == v.shape
+                and q.shape[2] % 2 == 0 and (2 * q.shape[3]) % 128 == 0):
+            # Same-shape q/k/v (decoder self/cross attention at matched
+            # lengths): one concat re-creates the fused-qkv Dense layout
+            # and rides the TAV head-pair inference primal — the old
+            # per-(batch,head)-cell kernel measured ~4x slower at the
+            # VFMHead shape 28x1024x8x64 (it has no batch packing, no
+            # interleaved-halves schedule, and a natural-orientation AV
+            # that uses 65 of 128 output lanes).
+            from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+            b, n, h, d = q.shape
+            qkv = jnp.concatenate(
+                [t.reshape(b, n, h * d) for t in (q, k, v)], axis=-1)
+            out = flash_attention_qkv_tm(qkv, h, scale=scale)
+            return out.reshape(b, n, h, d)
         from vfmseg_tpu.ops.flash_attention import flash_attention
 
         try:
