@@ -38,12 +38,13 @@ import numpy as np
 from vfmseg_tpu.eval.slide import compute_slide_grid
 from vfmseg_tpu.ops.resize import resize
 
-# spacing 2 through the production operating band (group 8 at ~80% skip
-# needs ~29 windows; padding averages spacing/2 windows of wasted refine
-# compute, ~6.6 ms each on ViT-L, so the tighter grid pays for its extra
-# cached compiles within a few hundred images)
+# spacing 2 through the production operating bands (group 8 at ~80% skip
+# needs ~29 windows, group 16 needs ~58; padding averages spacing/2 windows
+# of wasted refine compute, ~5.5 ms each on ViT-L, so the tighter grid pays
+# for its extra cached compiles within a few hundred images)
 DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 16, 20, 22, 24, 26, 28, 30, 32, 34,
-                   36, 38, 40, 44, 48, 56, 64, 80, 96, 128, 160)
+                   36, 38, 40, 44, 48, 50, 52, 54, 56, 58, 60, 62, 64, 66,
+                   68, 72, 80, 96, 128, 160)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
