@@ -220,7 +220,27 @@ def main():
     ap.add_argument("--skip-sweep", action="store_true",
                     help="compact mode: also bench forced gate skip rates "
                          "{0.5, 0.65, 0.8, 0.9} (img/s vs skip-rate table)")
+    ap.add_argument("--no-kernel-check", action="store_true",
+                    help="skip the on-hardware kernel numerics battery "
+                         "(tools/tpu_check.py --quick) that guards the bench")
     args = ap.parse_args()
+
+    if not args.no_kernel_check and jax.default_backend() == "tpu":
+        # a Mosaic numerics regression must not be able to produce a BENCH
+        # artifact: run the quick kernel battery first, fail the bench on
+        # drift (VERDICT r3 weak #2). Battery output goes to stderr so the
+        # bench still prints exactly one JSON line on stdout.
+        import contextlib
+
+        from tools.tpu_check import run_battery
+
+        with contextlib.redirect_stdout(sys.stderr):
+            failures = run_battery(quick=True)
+        if failures:
+            print(json.dumps({"metric": "kernel numerics battery",
+                              "value": 0, "unit": "failures",
+                              "vs_baseline": 0, "failures": failures}))
+            sys.exit(1)
 
     # tanh-GELU for production inference (documented ~1e-3 deviation from
     # the parity-exact erf GELU; ~1.4x faster MLPs on the VPU)

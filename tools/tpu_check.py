@@ -49,11 +49,10 @@ def check(name, got, want, atol=ATOL, failures=None):
     return ok
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
-
+def run_battery(quick: bool = False):
+    """Run the battery on the live backend; returns the failure list.
+    Importable (bench.py runs the quick battery before timing so a Mosaic
+    numerics regression cannot produce a BENCH artifact — VERDICT r3)."""
     from vfmseg_tpu.ops.attention import (xla_attention,
                                           xla_attention_decomposed_hm,
                                           xla_attention_headmajor)
@@ -90,7 +89,7 @@ def main():
     check("flash_grad_dq_2049t", jax.grad(loss_flash)(q),
           jax.grad(loss_xla)(q), atol=2e-2, failures=failures)
 
-    if not args.quick:
+    if not quick:
         # ---- head-major (EVA02 RoPE path) ----
         qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
         check("flash_headmajor_2049t", flash_attention_headmajor(qh, kh, vh),
@@ -140,6 +139,14 @@ def main():
         check("accumulate_crops_gather_vs_scatter", got, acc / cnt,
               atol=1e-4, failures=failures)
 
+    return failures
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    failures = run_battery(quick=args.quick)
     if failures:
         print(json.dumps({"result": "FAIL", "failures": failures}),
               flush=True)
