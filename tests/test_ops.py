@@ -492,6 +492,26 @@ class TestFlashQKVDirect:
                 np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
                 rtol=2e-4, atol=2e-4)
 
+    def test_qkv_tm_aligned_tail_side_chain(self):
+        """In-kernel aligned-tail mode (auto at n=129: single tail token,
+        large lane-padding fraction): the main chains cover 128 queries and
+        the cls-like tail query rides the VPU side-chain — must match XLA
+        for every row INCLUDING the tail (VERDICT r3 item 1b; the XLA-
+        einsum split this replaces crashed the TPU worker at b=26)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+        b, n, h, d = 2, 129, 2, 16
+        qkv = _rand(90, (b, n, 3 * h * d))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qkv_tm(qkv, h)
+        qkv_r = qkv.reshape(b, n, 3, h, d)
+        ref = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-4, atol=2e-4)
+
     def test_qkv_primal_no_max_large_logits(self):
         """The inference primal drops the softmax running max (flash kernel
         no_max path) — verify it stays finite and XLA-exact at attention

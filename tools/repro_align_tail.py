@@ -1,15 +1,17 @@
-"""Validate the aligned-tail flash split inside the full ViT-L refine graph.
+"""Validate the aligned-tail flash modes inside the full ViT-L refine graph.
 
-The split path (VFMSEG_FLASH_ALIGN_TAIL=1) removes the 12.4% lane padding
-at refine length 1025 but historically hard-crashed the TPU worker when XLA
-fused the tail einsums/concat around the pallas_call at specific batch
-sizes (b=26). This script runs the LoRA-DINOv2 ViT-L backbone at the
-refine-bucket batch sizes and compares against the default (unsplit) path:
+The aligned-tail split removes the 12.4% lane padding at refine length
+1025. The original XLA-einsum formulation (now VFMSEG_FLASH_ALIGN_TAIL=xla)
+hard-crashed the TPU worker when XLA fused the tail einsums/concat around
+the pallas_call at specific batch sizes (b=26); the in-kernel VPU
+side-chain (mode "auto"/"1", see _fwd_kernel_qkv_tav) removes that fusion
+surface and passes at every bucket size. This script runs the LoRA-DINOv2
+ViT-L backbone at the refine-bucket batch sizes:
 
     python tools/repro_align_tail.py [--sizes 22 24 26 28] [--time]
 
-It must be launched WITH the env var already set (the flash module reads
-it at trace time):  VFMSEG_FLASH_ALIGN_TAIL=1 python tools/repro_align_tail.py
+Set VFMSEG_FLASH_ALIGN_TAIL before launching to pick the mode (the flash
+module reads it at trace time); default is "auto".
 """
 
 import argparse
@@ -55,8 +57,8 @@ def main():
     def feats(v, x):
         return model.apply(v, x, False, method=MsVFMSegmentor._feats)[-1]
 
-    split_on = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "0") == "1"
-    print(json.dumps({"align_tail": split_on}), flush=True)
+    mode = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "auto")
+    print(json.dumps({"align_tail_mode": mode}), flush=True)
     for b in args.sizes:
         x = jax.random.normal(jax.random.PRNGKey(b), (b, 512, 512, 3), dtype)
         t0 = time.time()

@@ -41,7 +41,15 @@ from vfmseg_tpu.ops.resize import resize
 # spacing 2 through the production operating bands (group 8 at ~80% skip
 # needs ~29 windows, group 16 needs ~58; padding averages spacing/2 windows
 # of wasted refine compute, ~5.5 ms each on ViT-L, so the tighter grid pays
-# for its extra cached compiles within a few hundred images)
+# for its extra cached compiles within a few hundred images).
+#
+# Advisor r3 asked whether a multiples-of-4 grid (flash pack-4 on every
+# bucket) beats spacing 2 (≡2 mod 4 buckets fall back to pack 2/3).
+# Measured at the bs8 1024x2048 headline on v5e: spacing-2 (bucket 30,
+# pack 3) 28.90 img/s vs mult-4 (bucket 32, pack 4) 28.49 — the ~2 extra
+# padded refine windows cost more than pack-4 recovers on the attention
+# slice (~14% of refine FLOPs), and the even non-mult-4 buckets still
+# pack at 2-3 via the divisor fallback. Spacing 2 stays.
 DEFAULT_BUCKETS = (0, 1, 2, 4, 8, 12, 16, 20, 22, 24, 26, 28, 30, 32, 34,
                    36, 38, 40, 44, 48, 50, 52, 54, 56, 58, 60, 62, 64, 66,
                    68, 72, 80, 96, 128, 160)

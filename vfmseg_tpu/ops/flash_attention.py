@@ -871,7 +871,8 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
 
 
 def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                        kv_len: int, block_k: int, head_dim: int):
+                        kv_len: int, block_k: int, head_dim: int,
+                        tail: int = 0):
     """Transposed-AV no-max primal: all math runs on s^T = k q^T.
 
     The natural-orientation AV matmul writes [bq, d+1]: 65 of 128 output
@@ -898,9 +899,23 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         -inf mask over the full [bk, bq] score tile (the largest VPU
         pass in the kernel) with two [bk, d]-sized wheres and one
         [bk, 1] iota compare. exp2(0)=1 vs exp2(-inf)=0 only ever
-        multiplies exact zeros, so outputs are bit-identical."""
+        multiplies exact zeros, so outputs are bit-identical.
+
+    Aligned-tail mode (tail=1): the q block carries nq_main + 1 rows but
+    the chains compute only the first nq_main (a 128-multiple at ViT
+    lengths — zero lane padding in every score/exp2/AV tile); the single
+    tail query (the extra cls token) rides a VPU side-chain per (pack,
+    half): s = sum_lanes(k * q_tail) per kv row, p = exp2(s),
+    tail_acc += sum_rows(v_aug * p) — reusing the k/v granules already in
+    VMEM. Padded kv rows contribute exactly 0 (k zeroed -> p = exp2(0) =
+    1 times a zeroed v_aug row). A separate tail-writer pallas kernel was
+    built first and measured NET SLOWER (136 -> 144 ms per 28-batch
+    ViT-L backbone chain): re-reading kv + copying the main output
+    through a second kernel costs more HBM than the lane padding costs
+    MXU. The earlier XLA-einsum tail hard-crashed the TPU worker when
+    fused around the pallas_call (b=26; see _flash_forward_qkv_tav)."""
     pack = q_ref.shape[0]                  # batch items per grid cell
-    block_q = q_ref.shape[1]
+    block_q = q_ref.shape[1] - tail
     kv_pad = k_ref.shape[1]
     num_kv = kv_pad // block_k
     has_tail = kv_len < kv_pad
@@ -955,6 +970,26 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
               for (off, sz) in bounds]
     accs = {(bb, hh, off): jnp.zeros((head_dim + 1, sz), dtype=jnp.float32)
             for (bb, hh, off, sz) in chains}
+    qt, tail_accs = {}, {}
+    if tail:
+        for bb in range(pack):
+            for hh in range(2):
+                qt[bb, hh] = (
+                    q_ref[bb, block_q:, hh * head_dim:(hh + 1) * head_dim]
+                    .astype(jnp.float32) * (scale * _LOG2E))   # [tail, d]
+                tail_accs[bb, hh] = jnp.zeros((tail, head_dim + 1),
+                                              jnp.float32)
+
+    def tail_step(bb, hh, k, v_aug):
+        # VPU side-chain for the tail query (docstring): lane-reduce the
+        # score, exp2, sublane-reduce the weighted v_aug (fused denominator
+        # via the ones column). Padded kv rows: k zeroed -> p = 1 times a
+        # zeroed v_aug row = 0.
+        st = jnp.sum(k.astype(jnp.float32) * qt[bb, hh], axis=1,
+                     keepdims=True)                            # [bk, 1]
+        p = jnp.exp2(st)
+        tail_accs[bb, hh] = tail_accs[bb, hh] + jnp.sum(
+            v_aug.astype(jnp.float32) * p, axis=0, keepdims=True)
 
     def load(bb, hh, j, masked):
         k = k_ref[bb, pl.ds(j * block_k, block_k),
@@ -1007,6 +1042,11 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                    for (bb, hh, off, sz) in chains]
             for (bb, hh, off, sz), st in zip(chains, sts):
                 av(bb, hh, off, sz, st, tiles[bb, hh][2])
+            if tail:
+                for bb in range(pack):
+                    for hh in range(2):
+                        tail_step(bb, hh, tiles[bb, hh][0],
+                                  tiles[bb, hh][2])
         else:
             for bb in range(pack):
                 for hh in range(2):
@@ -1014,6 +1054,8 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                     for (off, sz) in bounds:
                         av(bb, hh, off, sz,
                            score(bb, hh, off, sz, k), v_aug)
+                    if tail:
+                        tail_step(bb, hh, k, v_aug)
 
     for bb in range(pack):
         for hh in range(2):
@@ -1022,6 +1064,11 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                 acc = accs[bb, hh, off]
                 safe_l = jnp.maximum(acc[head_dim:, :], 1e-37)
                 outs.append((acc[:head_dim, :] / safe_l).astype(o_ref.dtype))
+            if tail:
+                ta = tail_accs[bb, hh]                       # [tail, d+1]
+                col = (ta[:, :head_dim]
+                       / jnp.maximum(ta[:, head_dim:], 1e-37))
+                outs.append(jnp.transpose(col).astype(o_ref.dtype))
             o_ref[bb, 0, hh, :, :] = (
                 outs[0] if len(outs) == 1
                 else jnp.concatenate(outs, axis=1))
@@ -1053,24 +1100,34 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     costs a fixed ~0.15 ms, worth paying only when the lane padding it
     removes is large.
 
-    DEFAULT OFF (VFMSEG_FLASH_ALIGN_TAIL=1 opts in): embedded in the
-    full ViT-L refine graph the split path hard-crashes the TPU worker
-    ("kernel fault") at specific batch sizes — b=26 reproducibly, while
-    22/24/28 pass and the standalone kernel passes at ALL of those
-    sizes, so the fault lives in how XLA fuses the tail einsums/concat
-    around the pallas_call, not in the kernel or the tail math.
-    Fencing the tail with jax.lax.optimization_barrier (kept below) did
-    NOT clear the fault (tools/repro_align_tail.py still takes down the
-    worker), so the offending interaction is deeper than simple
-    producer/consumer fusion. A ~13% kernel-level win on ~14% of model
-    FLOPs (~2% end-to-end) is not worth a bucket-size-dependent worker
-    crash; revisit if the fault disappears in a newer compiler."""
+    VFMSEG_FLASH_ALIGN_TAIL modes:
+      * "auto" (default): in-kernel tail side-chain when the tail is a
+        single token and the lane padding it removes is >= 10% of the
+        sequence (refine 1025 -> 12.4% yes; stage-1 2049 -> 6.2% no,
+        where the saving measured below run-to-run noise).
+      * "1": force the in-kernel tail side-chain.
+      * "xla": the original XLA-einsum tail (kept as the crash record:
+        embedded in the full ViT-L refine graph it hard-crashed the TPU
+        worker at specific batch sizes — b=26 reproducibly, while
+        22/24/28 passed and the standalone kernel passed everywhere, so
+        the fault lives in how XLA fuses the tail einsums/concat around
+        the pallas_call; optimization_barrier fencing did NOT clear it).
+        The in-kernel side-chain (_fwd_kernel_qkv_tav tail=1) removes
+        that fusion surface entirely — no XLA op touches the kernel's
+        operands — and tools/repro_align_tail.py passes at every refine
+        bucket size with it (incl. the old crasher b=26).
+      * "0": no split (12.4% lane padding at refine length)."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
     tail = n % 128
-    use_split = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "0") == "1"
-    if tail and n > 128 and use_split:
+    mode = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "auto")
+    if tail == 1 and n > 128 and (
+            mode == "1"
+            or (mode == "auto" and (128 - tail) / n >= 0.10)):
+        return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n - tail,
+                                           tail=tail)
+    if tail and n > 128 and mode == "xla":
         n_main = n - tail
         out_main = _flash_forward_qkv_tav_main(qkv, num_heads, scale, n_main)
         # optimization_barrier fences the tail einsums from the pallas_call:
@@ -1099,8 +1156,10 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
 
 
 def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
-                                nq: int):
-    """The TAV pallas_call over queries [0:nq] (kv spans all n rows)."""
+                                nq: int, tail: int = 0):
+    """The TAV pallas_call; chains cover queries [0:nq], a `tail` of extra
+    queries (rows nq:nq+tail) rides the in-kernel VPU side-chain. kv spans
+    all n rows either way."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
@@ -1142,13 +1201,14 @@ def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
     while pack > 1 and (b % pack or pack * per_pack > budget):
         pack -= 1
     grid = (b // pack, h2)
+    nt = nq + tail
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv_tav, scale=scale, kv_len=n,
-                          block_k=block_k, head_dim=d),
+                          block_k=block_k, head_dim=d, tail=tail),
         compiler_params=_VMEM_LIMIT,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pack, nq, 2 * d), lambda bi, hi: (bi, 0, hi),
+            pl.BlockSpec((pack, nt, 2 * d), lambda bi, hi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pack, kvp, 2 * d),
                          lambda bi, hi: (bi, 0, h2 + hi),
@@ -1157,14 +1217,14 @@ def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
                          lambda bi, hi: (bi, 0, 2 * h2 + hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pack, 1, 2, d, nq),
+        out_specs=pl.BlockSpec((pack, 1, 2, d, nt),
                                lambda bi, hi: (bi, hi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, nq), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h2, 2, d, nt), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * nq * n * d,
+            flops=4 * b * num_heads * nt * n * d,
             bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
-            transcendentals=b * num_heads * nq * n,
+            transcendentals=b * num_heads * nt * n,
         ),
     )(qkv, qkv, qkv)
 
