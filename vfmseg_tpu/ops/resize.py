@@ -82,26 +82,45 @@ def _interp_matrix(in_size: int, out_size: int, method: str,
 def _apply_separable(x: jax.Array, out_hw: Tuple[int, int], method: str,
                      align_corners: bool,
                      scales: Tuple[Optional[float], Optional[float]]) -> jax.Array:
-    """x: [..., H, W, C] -> [..., H', W', C] via two matmuls."""
+    """x: [..., H, W, C] -> [..., H', W', C] via two matmuls.
+
+    Einsum order matters on TPU: the H-contraction's non-contracting minor
+    dims (w, c) are layout-adjacent, so XLA merges them into one full-lane
+    matmul — but the W-contraction's output keeps C minor (19 lanes at seg
+    head width = 15% MXU lane use). Run the expensive W-contraction at
+    whichever row count is smaller: upsampling does W first (measured 8.5
+    -> 5.6 ms for [8, 512, 1024, 19] -> 2x on v5e), downsampling H first.
+    (An all-VPU clamped-shift+interleave formulation for the exact-2x case
+    measured WORSE — 16.3 ms — XLA materializes every shifted copy.)"""
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
     wh = jnp.asarray(_interp_matrix(h, oh, method, align_corners, scales[0]))
     ww = jnp.asarray(_interp_matrix(w, ow, method, align_corners, scales[1]))
+    w_first = oh > h
     dtype = x.dtype
     if dtype == jnp.bfloat16:
         # bf16 data: bf16 matmuls with fp32 accumulation — the interp
         # weights' bf16 rounding (~1e-3) is below the data's own ulp, and
         # fp32 operands would run the MXU several times slower
-        y = jnp.einsum("oh,...hwc->...owc", wh.astype(dtype), x,
-                       preferred_element_type=jnp.float32)
-        y = jnp.einsum("ow,...hwc->...hoc", ww.astype(dtype),
-                       y.astype(dtype), preferred_element_type=jnp.float32)
-        return y.astype(dtype)
+        wh_b, ww_b = wh.astype(dtype), ww.astype(dtype)
+        y = x
+        if w_first:
+            y = jnp.einsum("ow,...hwc->...hoc", ww_b, y,
+                           preferred_element_type=jnp.float32).astype(dtype)
+        y = jnp.einsum("oh,...hwc->...owc", wh_b, y,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        if not w_first:
+            y = jnp.einsum("ow,...hwc->...hoc", ww_b, y,
+                           preferred_element_type=jnp.float32).astype(dtype)
+        return y
     # fp32 path: full precision (torch-parity numerics; TPU default would
     # silently use 3-pass bf16)
     xf = x.astype(jnp.float32)
+    if w_first:
+        xf = jnp.einsum("ow,...hwc->...hoc", ww, xf, precision="highest")
     xf = jnp.einsum("oh,...hwc->...owc", wh, xf, precision="highest")
-    xf = jnp.einsum("ow,...hwc->...hoc", ww, xf, precision="highest")
+    if not w_first:
+        xf = jnp.einsum("ow,...hwc->...hoc", ww, xf, precision="highest")
     return xf.astype(dtype)
 
 
