@@ -450,10 +450,13 @@ def main():
         # --- calibrate the gate to a trained-model-like skip rate --------
         # (run stage-1 at the SAME grouped batch the stream uses, so the
         # expensive ViT-L stage-1 compile happens exactly once). Calibrate
-        # over several groups: a single group's ~144 windows quantize the
-        # measurable rate to ~0.7% steps and sample only 1/3 of the run's
-        # images, which put +-0.04 of run-to-run noise on the headline.
-        n_cal = min(3 * args.group, len(images))
+        # over ALL run images: a 24-image subset measured a systematically
+        # easier rate than the full fixed run set (cal 0.801 -> run 0.792,
+        # i.e. ~1% extra refine work vs the protocol's 0.8 operating
+        # point); with the full set the calibration target IS the run rate
+        # up to the bisection tolerance. Costs ~10 extra stage-1 passes
+        # through the already-compiled graph.
+        n_cal = len(images)
         img_cals = [jnp.stack(images[i:i + args.group])
                     for i in range(0, n_cal, args.group)]
         full_cal, _c = compact._stage1(variables, img_cals[0], (h, w))
