@@ -156,6 +156,32 @@ def test_sam_forward_parity():
         np.testing.assert_allclose(np.asarray(j), t.numpy(), rtol=3e-4, atol=3e-5)
 
 
+def test_sam_forward_parity_with_window_padding():
+    """Grid 5 with window 2 -> padded 6x6 windows: exercises the persisted-
+    window pad re-zeroing (vit.py window-segment persistence) against the
+    reference's per-block zero-padding semantics."""
+    torch.manual_seed(1)
+    tmodel = TorchSam(img=80).eval()
+    sd = _sam_style_state_dict(tmodel)
+
+    from tools.convert_sam import convert_sam_state_dict
+
+    tree = convert_sam_state_dict(sd, target_img=80)
+
+    jmodel = build_sam(img_size=80, embed_dim=32, depth=4, num_heads=2,
+                       window_size=2, global_attn_indexes=(1, 3),
+                       out_indices=(0, 1, 2, 3), pretrain_img_size=128,
+                       attn_impl="xla")
+
+    x = np.random.RandomState(1).randn(2, 80, 80, 3).astype(np.float32)
+    with torch.no_grad():
+        touts = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    jouts = jmodel.apply({"params": tree}, jnp.asarray(x))
+    for t, j in zip(touts, jouts):
+        np.testing.assert_allclose(np.asarray(j), t.numpy(), rtol=3e-4,
+                                   atol=3e-5)
+
+
 def test_window_partition_roundtrip():
     import jax
 

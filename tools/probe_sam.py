@@ -14,6 +14,14 @@ and the full 32-block backbone. The grid-32/window-14 padding (42^2 = 1764
 padded tokens vs 1024 real, +72% attention area) is reference semantics —
 zero-pad tokens participate as kv in the reference's window softmax
 (sam_vit.py:301-357), so they cannot be dropped without breaking parity.
+
+Round-4 findings (docs/DESIGN.md "SAM ViT-H eval ceiling"): backbone
+143 ms/bs8; window-segment persistence (partition once per segment) was
+built, measured +33% SLOWER in a same-process A/B (143 -> 191 ms: XLA
+already fuses the per-block relayouts; persistence pays padded tokens on
+every per-token op), and reverted. Micro-phase chain timings on the axon
+relay fluctuate up to 4x run-to-run — only same-process A/Bs are
+trustworthy below ~5 ms.
 """
 
 import argparse
