@@ -79,6 +79,16 @@ def run_battery(quick: bool = False):
     check("flash_qkv_token_major_2049t", flash_attention_qkv_tm(qkv, h),
           ref.reshape(b, n, h * d), failures=failures)
 
+    # refine shape 1025: the aligned-tail VPU side-chain is active here
+    # (auto mode, 12.4% padding threshold) — a tail regression must fail
+    # the quick battery that gates the bench
+    n1 = 1025
+    q1, k1, v1 = (x[:, :n1] for x in (q, k, v))
+    qkv1 = jnp.concatenate([x.reshape(b, n1, h * d) for x in (q1, k1, v1)],
+                           -1)
+    check("flash_qkv_token_major_1025t_tail", flash_attention_qkv_tm(qkv1, h),
+          xla_attention(q1, k1, v1).reshape(b, n1, h * d), failures=failures)
+
     # grad path (training primal keeps the exact online softmax)
     def loss_flash(q):
         return jnp.sum(flash_attention(q, k, v) ** 2)
