@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="*", default=[22, 24, 26, 28])
     ap.add_argument("--time", action="store_true",
                     help="also time the backbone at each size (8 chained)")
+    ap.add_argument("--config", default="dg_lora_dinov2_ms_masked",
+                    help="model config (e.g. dg_lora_eva02_ms_masked to "
+                         "hunt the EVA02 head-major fault)")
     args = ap.parse_args()
 
     from bench import random_variables
@@ -46,7 +49,7 @@ def main():
     from vfmseg_tpu.models.segmentors.ms_vfm import MsVFMSegmentor
 
     dtype = jnp.bfloat16
-    cfg = load_config("dg_lora_dinov2_ms_masked")
+    cfg = load_config(args.config)
     model = build_segmentor(cfg.model, dtype=dtype, attn_impl="auto")
     ih, iw = tuple(cfg.get("crop_size", (1024, 1024)))
     variables = random_variables(
