@@ -330,7 +330,9 @@ def main():
             opt_state=optimizer.init(trainable), ema=ema)
         dacs = DACSConfig(num_classes=cfg.get("num_classes", 19),
                           head_key=head_key)
-        step_fn = make_dacs_train_step(model, optimizer, dacs, donate=False)
+        # donate: the step consumes and replaces `state` every iteration —
+        # without donation XLA copies the full optimizer+EMA tree per step
+        step_fn = make_dacs_train_step(model, optimizer, dacs, donate=True)
         batch = {"img": img, "label": labels, "target_img": tgt}
         rng = jax.random.PRNGKey(7)
 
@@ -364,7 +366,10 @@ def main():
                       f"fwd+bwd + EMA teacher)",
             "value": round(sps, 3),
             "unit": "steps/sec",
-            "vs_baseline": round(sps / 1.5, 3),  # analytic A100 torch ~1.5/s
+            # denominator derived in BASELINE.md ("Analytic A100
+            # denominators"): ~7.2 TF/step at ~11 TF/s sustained
+            "vs_baseline": round(sps / 1.5, 3),
+            "baseline": "analytic",
             **extras,
         }))
         print(f"# first(incl. compile)={compile_and_first:.1f}s "
@@ -388,7 +393,10 @@ def main():
             step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=optimizer.init(trainable))
-        step_fn = make_train_step(model, optimizer, donate=False)
+        # donate: production training donates (train/loop.py); the bench
+        # must measure the same step or its step time over-counts a full
+        # state copy per iteration
+        step_fn = make_train_step(model, optimizer, donate=True)
         batch = {"img": img, "label": labels}
         rng = jax.random.PRNGKey(7)
 
@@ -423,7 +431,9 @@ def main():
                       f"MsVFM fwd+bwd)",
             "value": round(sps, 3),
             "unit": "steps/sec",
-            "vs_baseline": round(sps / 3.0, 3),  # analytic A100 torch ~3/s
+            # denominator derived in BASELINE.md: ~5.8 TF/step at ~18 TF/s
+            "vs_baseline": round(sps / 3.0, 3),
+            "baseline": "analytic",
             **extras,
         }))
         print(f"# first(incl. compile)={compile_and_first:.1f}s "
@@ -587,6 +597,7 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / A100_REFERENCE_IMAGES_PER_SEC, 3),
+        "baseline": "analytic",
         **extras,
     }))
     print(f"# first(incl. compile)={compile_and_first:.1f}s "

@@ -71,13 +71,6 @@ class MsVFMSegmentor(nn.Module):
         lr_img = resize(img, scale_factor=0.5, method="bilinear",
                         align_corners=self.align_corners)
         lr_labels = nearest_downsample_2x(labels)
-        lr_logits = self.decode_head(self._feats(lr_img, True), train=True)
-        lr_logits = resize(lr_logits, size=lr_labels.shape[1:3], method="bilinear",
-                           align_corners=self.align_corners)
-        losses = {
-            "decode_lr.loss_ce": cross_entropy_loss(lr_logits, lr_labels),
-            "decode_lr.acc_seg": seg_accuracy(lr_logits, lr_labels),
-        }
 
         # ---- HR branch: random aligned crop at full scale --------------
         rng = self.make_rng("crop")
@@ -93,6 +86,37 @@ class MsVFMSegmentor(nn.Module):
         hr_labels = jax.lax.dynamic_slice(
             labels, (0, y1, x1), (labels.shape[0], ch, cw))
 
+        # The backbone (a frozen ViT-L, the dominant FLOPs) sees both scale
+        # views in ONE batched call when their shapes match (they do in the
+        # headline 1024^2 configs: the 0.5x view and the HR crop are both
+        # 512^2). The two passes have no dependency through the backbone —
+        # the HR head's context comes from the LR *head* logits — and the
+        # reference only runs them sequentially because torch modules are
+        # stateful (Ms_VFM_encoder_decoder.py:125-141). Doubling the batch
+        # doubles the arithmetic intensity of every per-block matmul, the
+        # single largest train-MFU lever (measured in BENCH_train_r05).
+        b = img.shape[0]
+        if lr_img.shape[1:3] == (ch, cw):
+            feats_all = self._feats(
+                jnp.concatenate([lr_img, hr_img], axis=0), True)
+            if not isinstance(feats_all, (tuple, list)):
+                feats_all = (feats_all,)
+                lr_feats, hr_feats = feats_all[0][:b], feats_all[0][b:]
+            else:
+                lr_feats = tuple(f[:b] for f in feats_all)
+                hr_feats = tuple(f[b:] for f in feats_all)
+        else:
+            lr_feats = self._feats(lr_img, True)
+            hr_feats = self._feats(hr_img, True)
+
+        lr_logits = self.decode_head(lr_feats, train=True)
+        lr_logits = resize(lr_logits, size=lr_labels.shape[1:3], method="bilinear",
+                           align_corners=self.align_corners)
+        losses = {
+            "decode_lr.loss_ce": cross_entropy_loss(lr_logits, lr_labels),
+            "decode_lr.acc_seg": seg_accuracy(lr_logits, lr_labels),
+        }
+
         # context: detached LR logits cropped to the HR box at half res
         # (get_seg_logits :160-167; box coords are divisible by 2)
         context = jax.lax.stop_gradient(
@@ -102,7 +126,7 @@ class MsVFMSegmentor(nn.Module):
             )
         )
 
-        hr_logits = self.aux_head(self._feats(hr_img, True), context,
+        hr_logits = self.aux_head(hr_feats, context,
                                   train=True, mask_enable=True)
         hr_logits = resize(hr_logits, size=(ch, cw), method="bilinear",
                            align_corners=self.align_corners)

@@ -8,10 +8,11 @@ rein/models/heads/Transformer.py:138-156) with a naive matmul-softmax fallback
   * :func:`xla_attention` — the numerics-defining implementation (softmax in
     fp32, matmuls with fp32 accumulation); XLA fuses this well on TPU and it
     is fully differentiable.
-  * :func:`multi_head_attention` — dispatcher; on TPU it routes the forward
-    pass to the Pallas flash-attention kernel (ops/flash_attention.py) via a
-    custom VJP whose backward recomputes with XLA (cheap at ViT sequence
-    lengths, keeps training correct while the fwd kernel rides VMEM).
+  * :func:`multi_head_attention` — dispatcher; on TPU it routes to the
+    Pallas flash-attention kernels (ops/flash_attention.py): an LSE-free
+    inference primal, and for training a custom VJP whose forward rule
+    keeps full residuals and whose backward runs the two-kernel Pallas
+    flash backward (dQ and dKV kernels, flash_attention.py:1298-1766).
 
 Layout convention everywhere: ``[batch, seq, heads, head_dim]`` (the xformers
 layout, which is also the natural TPU layout: head_dim=64/128 on the lane

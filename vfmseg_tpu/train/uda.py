@@ -123,10 +123,29 @@ def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
                          cfg: DACSConfig = DACSConfig(),
                          donate: bool = True) -> Callable:
     """model: an EncoderDecoder-style segmentor (CE losses, pixel_weight
-    support). batch: {img, label, target_img}."""
+    support). batch: {img, label, target_img}.
+
+    For plain EncoderDecoder models the source and mixed student passes
+    batch into ONE 2B backbone call: the reference dispatches them as
+    separate per-branch forward+backward calls (dacs.py:250,306) only
+    because torch autograd runs eagerly — the two passes share params and
+    have no data dependency (the mixed image depends on the TEACHER, which
+    runs before the student step). Doubling the student batch doubles the
+    arithmetic intensity of every frozen-ViT matmul (the dominant FLOPs).
+    Per-sample math is identical to two sequential calls; what changes is
+    dropout draws (different RNG offsets) and BatchNorm batch statistics
+    (one joint 2B moment instead of two sequential B moments — the same
+    semantics DDP SyncBN would give the reference on 2 GPUs)."""
+
+    from vfmseg_tpu.models.losses import cross_entropy_loss, seg_accuracy
+    from vfmseg_tpu.models.segmentors.encoder_decoder import EncoderDecoder
+    from vfmseg_tpu.ops.resize import resize
 
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    # exact-type check: a subclass may override __call__'s loss structure,
+    # in which case the concat-and-split CE below would not reproduce it
+    batch_students = type(model) is EncoderDecoder
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -139,7 +158,34 @@ def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
         rngs = {"dropout": k_drop, "mask": jax.random.fold_in(k_drop, 1),
                 "crop": jax.random.fold_in(k_drop, 2)}
 
-        def loss_fn(trainable):
+        def loss_fn_batched(trainable):
+            p = merge_params(trainable, state.frozen)
+            variables = {"params": p}
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            b = src_img.shape[0]
+            img2b = jnp.concatenate(
+                [src_img, mixed_img.astype(src_img.dtype)], axis=0)
+            out = model.apply(variables, img2b, True, rngs=rngs,
+                              mutable=mutable,
+                              method=EncoderDecoder.forward)
+            logits2b, new_state = out if mutable else (out, {})
+            logits2b = resize(logits2b, size=src_lbl.shape[1:3],
+                              method="bilinear",
+                              align_corners=model.align_corners)
+            src_logits, mix_logits = logits2b[:b], logits2b[b:]
+            losses = {
+                "src.decode.loss_ce": cross_entropy_loss(src_logits, src_lbl),
+                "src.decode.acc_seg": seg_accuracy(src_logits, src_lbl),
+                "mix.decode.loss_ce": cross_entropy_loss(
+                    mix_logits, mixed_lbl, pixel_weight=mixed_weight),
+                "mix.decode.acc_seg": seg_accuracy(mix_logits, mixed_lbl),
+            }
+            return sum_losses(losses), (losses, new_state)
+
+        def loss_fn_sequential(trainable):
             p = merge_params(trainable, state.frozen)
             variables = {"params": p}
             mutable = False
@@ -159,6 +205,8 @@ def make_dacs_train_step(model, optimizer: optax.GradientTransformation,
             losses = dict(add_prefix(src_losses, "src"))
             losses.update(add_prefix(mix_losses, "mix"))
             return sum_losses(losses), (losses, new_state2)
+
+        loss_fn = loss_fn_batched if batch_students else loss_fn_sequential
 
         (loss, (losses, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.trainable)
