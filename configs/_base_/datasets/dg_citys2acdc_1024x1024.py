@@ -24,7 +24,15 @@ config = dict(
         batch_size=2,
         num_workers=4,
         val=[_acdc("fog")],
-        test=[_acdc("fog"), _acdc("night"), _acdc("rain"), _acdc("snow")],
+        test=[
+            _acdc("fog"), _acdc("night"), _acdc("rain"), _acdc("snow"),
+            # the reference combo also evals the cityscapes val split at its
+            # own (2048,1024) geometry (dg_citys2ACDC_1024x1024.py
+            # dataset_keys include "cityscapes/")
+            dict(type="CityscapesDataset", data_root="data/cityscapes",
+                 img_dir="leftImg8bit/val", ann_dir="gtFine/val",
+                 key="cityscapes/", test_resize_wh=(2048, 1024)),
+        ],
         test_resize_wh=(1920, 1080),
     ),
 )

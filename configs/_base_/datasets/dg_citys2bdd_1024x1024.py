@@ -20,6 +20,8 @@ config = dict(
         test=[
             dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd"),
         ],
-        test_resize_wh=(1280, 720),
+        # reference bdd100k_1024x1024.py:15 evals BDD at scale (2048,1024)
+        # keep_ratio=True -> 1280x720 frames become 1820x1024
+        test_resize_wh=(2048, 1024),
     ),
 )

@@ -15,10 +15,14 @@ config = dict(
         batch_size=2,
         num_workers=4,
         val=[
-            dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd"),
+            dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd",
+                 # bdd100k_512x512.py:15: BDD evals at its native scale
+                 test_resize_wh=(1280, 720)),
         ],
         test=[
-            dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd"),
+            dict(type="BDD100KDataset", data_root="data/bdd100k", key="bdd",
+                 # bdd100k_512x512.py:15: BDD evals at its native scale
+                 test_resize_wh=(1280, 720)),
             dict(type="MapillaryDataset", data_root="data/mapillary", key="map"),
         ],
         test_resize_wh=(1024, 512),

@@ -66,8 +66,11 @@ def main():
 
     rows = []
 
+    def wanted(tag):
+        return not args.only or any(sub in tag for sub in args.only)
+
     def report(tag, sec, note=""):
-        if args.only and not any(sub in tag for sub in args.only):
+        if not wanted(tag):
             return
         if callable(sec):
             sec = sec()
@@ -129,19 +132,19 @@ def main():
         fwd_bwd, args.iters, trainable, img))
 
     # ---- optimizer update alone -----------------------------------------
-    grads0 = jax.jit(lambda tr, im: jax.grad(
-        lambda t: fwd_loss(t, im, jnp.float32(0.0)))(tr))(trainable, img)
-    grads0 = jax.tree_util.tree_map(jnp.asarray, grads0)
+    if wanted("optimizer_update_only"):
+        # zero grads suffice to time the AdamW update chain
+        grads0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
-    def opt_only(tr, gr, os_, acc):
-        gr = jax.tree_util.tree_map(lambda g: dep(g, acc), gr)
-        updates, _ = optimizer.update(gr, os_, tr)
-        return jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float32)),
-            updates, jnp.float32(0.0)) * 1e-12
+        def opt_only(tr, gr, os_, acc):
+            gr = jax.tree_util.tree_map(lambda g: dep(g, acc), gr)
+            updates, _ = optimizer.update(gr, os_, tr)
+            return jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float32)),
+                updates, jnp.float32(0.0)) * 1e-12
 
-    report("optimizer_update_only", lambda: time_chain(
-        opt_only, args.iters, trainable, grads0, opt_state))
+        report("optimizer_update_only", lambda: time_chain(
+            opt_only, args.iters, trainable, grads0, opt_state))
 
     # ---- backbone alone at the batched train shape ----------------------
     crop_hw = tuple(cfg.get_path("model.hr_crop_size", (512, 512)))

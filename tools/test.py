@@ -49,7 +49,6 @@ def main():
     from vfmseg_tpu.core.config import load_config
     from vfmseg_tpu.core.registry import DATASETS
     from vfmseg_tpu.data.transforms import TestPipeline
-    from vfmseg_tpu.eval.evaluator import evaluate, make_predict_fn
     from vfmseg_tpu.eval.metrics import CITYSCAPES_CLASSES, IoUAccumulator
     from vfmseg_tpu.models.build import build_segmentor
     from vfmseg_tpu.train.checkpoint import load_pytree
@@ -91,15 +90,24 @@ def main():
     acc = IoUAccumulator(
         num_classes=num_classes, dataset_keys=keys, mean_used_keys=keys,
         class_names=CITYSCAPES_CLASSES if num_classes == 19 else None)
-    wh = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
-    pipeline = TestPipeline(resize_scale_wh=wh)
+    # Per-dataset test geometry (reference: each target dataset evaluates
+    # through its own pipeline with keep_ratio=True —
+    # configs/_base_/datasets/bdd100k_1024x1024.py:15, mapillary/cityscapes
+    # same): a dataset entry may carry its own test_resize_wh/keep_ratio,
+    # falling back to the combo-level data.test_resize_wh + keep_ratio.
+    wh_default = tuple(cfg.get_path("data.test_resize_wh", (2048, 1024)))
+    kr_default = bool(cfg.get_path("data.test_keep_ratio", True))
 
     for dset_cfg, key in zip(test_sets, keys):
-        dcfg = {k: v for k, v in dict(dset_cfg).items() if k != "key"}
+        dcfg = {k: v for k, v in dict(dset_cfg).items()
+                if k not in ("key", "test_resize_wh", "keep_ratio")}
+        wh = tuple(dset_cfg.get("test_resize_wh", wh_default))
+        pipeline = TestPipeline(
+            resize_scale_wh=wh,
+            keep_ratio=bool(dset_cfg.get("keep_ratio", kr_default)))
         dataset = DATASETS.build(dcfg)
-        print(f"evaluating {key}: {len(dataset)} images")
-        sample = dataset[0]
-        out_hw = sample["label"].shape if "label" in sample else (wh[1], wh[0])
+        print(f"evaluating {key}: {len(dataset)} images "
+              f"(resize_wh={wh}, keep_ratio={pipeline.keep_ratio})")
         mesh = None
         if args.data_parallel:
             from vfmseg_tpu.parallel.mesh import make_mesh
@@ -123,11 +131,21 @@ def main():
             _Image.fromarray(colorize_label(_np.asarray(pred))).save(
                 os.path.join(args.show_dir, key, name))
 
+        def out_hw_of(proc):
+            # mIoU at the ORIGINAL label resolution, per image (mmseg
+            # postprocess semantics); label-free export predicts at the
+            # processed (keep-ratio) geometry
+            if proc.get("label") is not None:
+                return tuple(proc["label"].shape[:2])
+            return tuple(proc["img"].shape[:2])
+
         use_stream = (test_cfg.get("gate") == "compact"
                       and test_cfg.get("mode") == "ms_slide_inference"
                       and not args.tta)
         if use_stream:
-            # throughput path: grouped stage-1 + pipelined gate readback
+            # throughput path: grouped stage-1 + pipelined gate readback;
+            # the stream flushes groups on shape changes (heterogeneous
+            # sets keep working, homogeneous ones keep full groups)
             from collections import deque
 
             from vfmseg_tpu.eval.evaluator import stream_evaluate
@@ -138,23 +156,31 @@ def main():
                 for i in range(n_imgs):
                     raw = dataset[i]
                     proc = pipeline(raw["img"], raw.get("label"))
-                    meta.append((raw, proc.get("label"), i))
+                    meta.append((raw, proc.get("label"), out_hw_of(proc), i))
                     yield jnp.asarray(proc["img"])
 
+            def out_hw_iter():
+                while True:
+                    yield meta[0][2]
+
             preds = stream_evaluate(
-                model, variables, test_cfg, image_iter(), out_hw,
-                group=test_cfg.get("stream_group", 8), mesh=mesh)
+                model, variables, test_cfg, image_iter(), None,
+                group=test_cfg.get("stream_group", 8), mesh=mesh,
+                out_hw_iter=out_hw_iter())
             for pred in preds:
-                raw, label, i = meta.popleft()
+                raw, label, _hw, i = meta.popleft()
                 acc.update(pred, label, key)
                 save_pred(pred, raw, i)
         else:
-            predict = make_predict_fn(model, test_cfg, out_hw=out_hw,
-                                      tta=args.tta, mesh=mesh)
+            from vfmseg_tpu.eval.evaluator import make_shape_aware_predict_fn
+
+            predict = make_shape_aware_predict_fn(model, test_cfg,
+                                                  tta=args.tta, mesh=mesh)
             for i in range(n_imgs):
                 raw = dataset[i]
                 proc = pipeline(raw["img"], raw.get("label"))
-                pred = predict(variables, jnp.asarray(proc["img"])[None])[0]
+                pred = predict(variables, jnp.asarray(proc["img"])[None],
+                               out_hw_of(proc))[0]
                 acc.update(pred, proc.get("label"), key)
                 save_pred(pred, raw, i)
 

@@ -60,6 +60,28 @@ def resize_sample(img: np.ndarray, label: Optional[np.ndarray],
     return img, label
 
 
+def random_choice_resize_shortest_edge(
+    img: np.ndarray, label: Optional[np.ndarray],
+    scales: Sequence[int], max_size: int, rng: np.random.Generator):
+    """mmseg RandomChoiceResize(resize_type=ResizeShortestEdge): pick one
+    target shortest-edge length uniformly from `scales`, rescale keeping
+    aspect so the SHORT edge hits it, but cap the LONG edge at `max_size`
+    (reference configs/rein_dinov2_mask2former_512x512_bs1x4.py:8-21 —
+    16 scales 256..1024, max_size 2048). Shapes stay dynamic here; the
+    downstream RandomCrop + pad-to-crop restore the static batch shape
+    (SURVEY §2.6). Returns (img, label, chosen_scale)."""
+    s = int(scales[int(rng.integers(len(scales)))])
+    ih, iw = img.shape[:2]
+    # mmcv ResizeShortestEdge._get_output_shape: scale by short edge,
+    # clamp by long edge
+    ratio = min(s / min(ih, iw), max_size / max(ih, iw))
+    w, h = int(iw * ratio + 0.5), int(ih * ratio + 0.5)
+    img = bilinear_resize_u8(img, (w, h))
+    if label is not None:
+        label = nearest_resize_u8(label, (w, h))
+    return img, label, s
+
+
 def bilinear_resize_u8(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
     """Vectorized half-pixel bilinear (cv2/torch semantics, no antialias)."""
     w, h = wh
@@ -199,10 +221,20 @@ class TrainPipeline:
     cat_max_ratio: float = 0.75
     flip_prob: float = 0.5
     photometric: bool = True
+    # RandomChoiceResize/ResizeShortestEdge scale jitter (the rein_* 512
+    # bs1x4 recipe): when set, REPLACES the fixed resize — a shortest-edge
+    # target is drawn per sample from `scale_jitter_scales`
+    scale_jitter_scales: Optional[Sequence[int]] = None
+    scale_jitter_max_size: int = 2048
 
     def __call__(self, img: np.ndarray, label: np.ndarray,
                  rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        img, label = resize_sample(img, label, self.resize_scale_wh)
+        if self.scale_jitter_scales:
+            img, label, _ = random_choice_resize_shortest_edge(
+                img, label, self.scale_jitter_scales,
+                self.scale_jitter_max_size, rng)
+        else:
+            img, label = resize_sample(img, label, self.resize_scale_wh)
         img, label = random_crop(img, label, self.crop_size, rng,
                                  self.cat_max_ratio)
         img, label = random_flip(img, label, rng, self.flip_prob)
@@ -215,10 +247,18 @@ class TrainPipeline:
 
 @dataclasses.dataclass
 class TestPipeline:
-    """Resize-only eval pipeline (cityscapes_1024x1024.py:13-20)."""
+    """Resize-only eval pipeline (cityscapes_1024x1024.py:13-20).
+
+    keep_ratio defaults True: every reference test pipeline resizes with
+    `keep_ratio=True` (configs/_base_/datasets/bdd100k_1024x1024.py:15,
+    mapillary/cityscapes same) — BDD 1280x720 scales to 1820x1024, NOT a
+    2048x1024 stretch; Mapillary's arbitrary sizes each keep their aspect.
+    mIoU is computed at the ORIGINAL label resolution (mmseg postprocess
+    resizes the logits back), so the label passes through untouched.
+    """
 
     resize_scale_wh: Optional[Tuple[int, int]] = (2048, 1024)
-    keep_ratio: bool = False
+    keep_ratio: bool = True
 
     def __call__(self, img: np.ndarray,
                  label: Optional[np.ndarray]) -> Dict[str, np.ndarray]:
@@ -229,7 +269,5 @@ class TestPipeline:
         img = (img.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
         out = {"img": img}
         if orig_label is not None:
-            # mIoU is computed at the ORIGINAL label resolution (mmseg
-            # resizes predictions back in postprocess)
             out["label"] = orig_label.astype(np.int32)
         return out

@@ -368,21 +368,32 @@ class CompactMsSlide:
         if self._nshard > 1 and group % self._nshard:
             group = -(-group // self._nshard) * self._nshard
 
+        def pad_to_shards(buf):
+            real = len(buf)
+            if self._nshard > 1 and real % self._nshard:
+                # pad the tail group so the batch still divides the data
+                # axis; padded rows are dropped before yielding
+                buf = buf + [buf[-1]] * (-(-real // self._nshard)
+                                         * self._nshard - real)
+            return buf, real
+
         def chunks():
             buf = []
             for im in images:
+                if buf and im.shape != buf[0].shape:
+                    # heterogeneous eval sets (per-dataset keep_ratio,
+                    # Mapillary): flush the current group when the incoming
+                    # shape changes — each group stays one static shape,
+                    # the pipeline keeps flowing across shapes (the jits
+                    # retrace per shape; callers bound that with buckets)
+                    yield pad_to_shards(buf)
+                    buf = []
                 buf.append(im)
                 if len(buf) == group:
                     yield buf, group
                     buf = []
             if buf:
-                real = len(buf)
-                if self._nshard > 1 and real % self._nshard:
-                    # pad the tail group so the batch still divides the data
-                    # axis; padded rows are dropped before yielding
-                    buf += [buf[-1]] * (-(-real // self._nshard)
-                                        * self._nshard - real)
-                yield buf, real
+                yield pad_to_shards(buf)
 
         pending = deque()
 

@@ -157,16 +157,98 @@ def make_compact_ms_slide(model, test_cfg: Dict, mesh=None):
 
 
 def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
-                    group: int = 8, mesh=None):
+                    group: int = 8, mesh=None, out_hw_iter=None):
     """Throughput eval: yield per-image [H, W] predictions for a stream of
-    same-shaped preprocessed images via CompactMsSlide.stream (grouped
-    stage-1 + pipelined gate; see bench.py)."""
+    preprocessed images via CompactMsSlide.stream (grouped stage-1 +
+    pipelined gate; see bench.py). The stream flushes groups on shape
+    changes, so per-dataset keep-ratio geometry works; `out_hw_iter`
+    optionally supplies each image's label resolution (reference mmseg
+    postprocess resizes logits back per image) — else `out_hw` is used
+    for all."""
     engine, rescope = make_compact_ms_slide(model, test_cfg or {}, mesh=mesh)
     if rescope is not None:
         variables = rescope(variables)
-    finish = jax.jit(lambda logits: _finish(logits[None], out_hw)[0])
+    finish = jax.jit(lambda logits, hw: _finish(logits[None], hw)[0],
+                     static_argnums=(1,))
     for logits in engine.stream(variables, images, group=group):
-        yield finish(logits)
+        hw = tuple(next(out_hw_iter)) if out_hw_iter is not None \
+            else tuple(out_hw)
+        yield finish(logits, hw)
+
+
+def _pad_to_min(img: jax.Array, min_hw: Tuple[int, int]):
+    """Bottom-right zero-pad (mean color post-normalization — the same fill
+    SegDataPreProcessor uses) for keep-ratio images smaller than the slide
+    crop (Mapillary portrait frames at the 512 protocol scale to w<512;
+    the torch reference just runs the smaller tensor, which static shapes
+    cannot). Returns (padded, valid_hw)."""
+    h, w = int(img.shape[1]), int(img.shape[2])
+    ph, pw = max(min_hw[0] - h, 0), max(min_hw[1] - w, 0)
+    if ph or pw:
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return img, (h, w)
+
+
+def make_shape_aware_predict_fn(model, test_cfg: Dict, tta: bool = False,
+                                mesh=None):
+    """predict(variables, img, out_hw) -> [B, out_h, out_w] int labels.
+
+    Per-dataset keep-ratio eval (reference
+    configs/_base_/datasets/bdd100k_1024x1024.py:15) makes the processed
+    image shape and the label resolution per-image properties — this
+    predictor splits the expensive inference graph (cached per input shape
+    by jax.jit) from the cheap finalize resize+argmax (cached per
+    (input, out_hw) pair), so heterogeneous eval sets never recompile the
+    ViT for a label-size change."""
+    test_cfg = test_cfg or {}
+    mode = test_cfg.get("mode", "whole")
+    finalize = jax.jit(_finish, static_argnums=(1,))
+    # slide-family modes need at least one full crop; whole modes run any size
+    min_hw = (tuple(test_cfg.get("crop_size", (512, 512)))
+              if "slide" in mode else (1, 1))
+
+    def _crop_valid(logits, valid_hw):
+        if logits.shape[1:3] != valid_hw:
+            logits = logits[:, :valid_hw[0], :valid_hw[1]]
+        return logits
+
+    if (mode == "ms_slide_inference" and test_cfg.get("gate") == "compact"
+            and not tta):
+        compact, rescope = make_compact_ms_slide(model, test_cfg, mesh=mesh)
+
+        def predict(variables, img, out_hw):
+            if rescope is not None:
+                variables = rescope(variables)
+            img, valid_hw = _pad_to_min(img, min_hw)
+            logits, _n = compact(variables, img)
+            return finalize(_crop_valid(logits, valid_hw), tuple(out_hw))
+
+        return predict
+
+    crop_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        crop_sharding = NamedSharding(mesh, P("data"))
+    logits_fn = make_logits_fn(model, test_cfg, mode, crop_sharding)
+    if tta:
+        from vfmseg_tpu.eval.tta import tta_logits
+
+        scales = tuple(test_cfg.get("tta_scales", (1.0,)))
+        inner = logits_fn
+
+        def logits_fn(variables, img):  # noqa: F811 — tta wrapper
+            return tta_logits(lambda view: inner(variables, view), img,
+                              flip=True, scales=scales)
+
+    logits_jit = jax.jit(logits_fn)
+
+    def predict(variables, img, out_hw):
+        img, valid_hw = _pad_to_min(img, min_hw)
+        logits = _crop_valid(logits_jit(variables, img), valid_hw)
+        return finalize(logits, tuple(out_hw))
+
+    return predict
 
 
 def make_compact_ms_predict_fn(model, test_cfg: Dict, out_hw: Tuple[int, int],
