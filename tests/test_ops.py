@@ -534,3 +534,125 @@ class TestFlashQKVDirect:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(ref.reshape(b, n, h * d)),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestInKernelRope:
+    """EVA02 in-kernel RoPE on the fused TAV primal (ops/rope.py evens|odds
+    permuted convention + flash_attention rope=True)."""
+
+    def test_permuted_convention_matches_rotate_half(self):
+        """Scores from permuted-layout rotation == scores from the pairwise
+        rotate_half convention (the joint q/k column permutation leaves the
+        dot product invariant)."""
+        from vfmseg_tpu.ops.rope import (
+            apply_rope, apply_rope_permuted, evens_odds_perm,
+            permuted_rope_tables, rope_2d_tables)
+
+        h, d, n = 2, 16, 17
+        cos, sin = rope_2d_tables(4, 4, d)
+        cos = np.concatenate([np.ones((1, d), np.float32), cos])
+        sin = np.concatenate([np.zeros((1, d), np.float32), sin])
+        q = np.asarray(_rand(1, (1, n, h, d)))
+        k = np.asarray(_rand(2, (1, n, h, d)))
+        # reference: pairwise rotation per head
+        qr = np.asarray(apply_rope(jnp.asarray(q), cos[None, :, None, :],
+                                   sin[None, :, None, :]))
+        kr = np.asarray(apply_rope(jnp.asarray(k), cos[None, :, None, :],
+                                   sin[None, :, None, :]))
+        scores_ref = np.einsum("bnhd,bmhd->bhnm", qr, kr)
+        # permuted: reorder each head's dims to [evens|odds] (as the fused
+        # path permutes the projection columns) and rotate via half-swap
+        pc = evens_odds_perm(1, d)  # within-head permutation
+        qp, kp = q[..., pc], k[..., pc]
+        cosP, sinP = permuted_rope_tables(cos, sin)
+        qpr = np.asarray(apply_rope_permuted(
+            jnp.asarray(qp), cosP[None, :, None, :], sinP[None, :, None, :]))
+        kpr = np.asarray(apply_rope_permuted(
+            jnp.asarray(kp), cosP[None, :, None, :], sinP[None, :, None, :]))
+        scores_perm = np.einsum("bnhd,bmhd->bhnm", qpr, kpr)
+        np.testing.assert_allclose(scores_perm, scores_ref, atol=1e-5)
+
+    def test_qkv_tav_rope_kernel_interpret(self):
+        """The rope=True TAV kernel == the XLA fused-rope fallback (which
+        the convention test above pins to the rotate_half reference)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.attention import xla_attention
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+        from vfmseg_tpu.ops.rope import (
+            apply_rope_permuted, permuted_rope_tables, rope_2d_tables)
+
+        b, n, h, d = 2, 130, 2, 16
+        cos, sin = rope_2d_tables(43, 3, d)  # 129 patch rows
+        cos = jnp.concatenate([jnp.ones((1, d)), jnp.asarray(cos)])
+        sin = jnp.concatenate([jnp.zeros((1, d)), jnp.asarray(sin)])
+        cosP, sinP = permuted_rope_tables(cos, sin)
+        qkv = _rand(91, (b, n, 3 * h * d))
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qkv_tm(qkv, h, rope_cs=(cosP, sinP))
+        qkv_r = qkv.reshape(b, n, 3, h, d)
+        qr = apply_rope_permuted(qkv_r[:, :, 0], cosP[None, :, None, :],
+                                 sinP[None, :, None, :])
+        kr = apply_rope_permuted(qkv_r[:, :, 1], cosP[None, :, None, :],
+                                 sinP[None, :, None, :])
+        ref = xla_attention(qr, kr, qkv_r[:, :, 2])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-4, atol=2e-4)
+
+    def test_qkv_tav_rope_aligned_tail_interpret(self):
+        """rope + the in-kernel aligned-tail side-chain (n=129: 128 main
+        queries + 1 tail) — the tail query must be rotated too."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.attention import xla_attention
+        from vfmseg_tpu.ops.flash_attention import _flash_forward_qkv_tav_main
+        from vfmseg_tpu.ops.rope import (
+            apply_rope_permuted, permuted_rope_tables, rope_2d_tables)
+
+        b, n, h, d = 1, 129, 2, 16
+        cos, sin = rope_2d_tables(16, 8, d)
+        cos = jnp.concatenate([jnp.ones((1, d)), jnp.asarray(cos)])
+        sin = jnp.concatenate([jnp.zeros((1, d)), jnp.asarray(sin)])
+        cosP, sinP = permuted_rope_tables(cos, sin)
+        qkv = _rand(92, (b, n, 3 * h * d))
+        with pltpu.force_tpu_interpret_mode():
+            out_t = _flash_forward_qkv_tav_main(
+                qkv, h, d ** -0.5, n - 1, tail=1, rope_cs=(cosP, sinP))
+        out = out_t.transpose(0, 4, 1, 2, 3).reshape(b, n, h * d)
+        qkv_r = qkv.reshape(b, n, 3, h, d)
+        qr = apply_rope_permuted(qkv_r[:, :, 0], cosP[None, :, None, :],
+                                 sinP[None, :, None, :])
+        kr = apply_rope_permuted(qkv_r[:, :, 1], cosP[None, :, None, :],
+                                 sinP[None, :, None, :])
+        ref = xla_attention(qr, kr, qkv_r[:, :, 2])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-4, atol=2e-4)
+
+    def test_eva02_fused_rope_branch_matches_headmajor(self, monkeypatch):
+        """Tiny EVA02 backbone eval: the fused in-kernel-rope branch (XLA
+        fallback on CPU) == the head-major rotate_half branch, same params
+        (incl. a LoRA overlay exercising the raw-weight fold)."""
+        import jax
+
+        from vfmseg_tpu.models.backbones import LoRASpec
+        from vfmseg_tpu.models.backbones.eva02 import build_eva02
+
+        lora = LoRASpec(rank=4, alpha=4, dropout=0.0,
+                        targets=("q_proj", "k_proj", "v_proj"))
+        model = build_eva02(img_size=64, patch_size=16, embed_dim=64,
+                            depth=2, num_heads=2, lora=lora,
+                            out_indices=(0, 1))
+        img = _rand(7, (1, 64, 64, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+        monkeypatch.setenv("VFMSEG_EVA_FUSED_ROPE", "0")
+        ref = model.apply(variables, img)
+        monkeypatch.setenv("VFMSEG_EVA_FUSED_ROPE", "1")
+        got = model.apply(variables, img)
+        ref = ref[0] if isinstance(ref, tuple) else ref
+        got = got[0] if isinstance(got, tuple) else got
+        for r, g in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)

@@ -108,9 +108,17 @@ def main():
     report("train_step_total", lambda: run_step(args.iters))
 
     # ---- forward loss only (no grad) ------------------------------------
+    bstats = variables.get("batch_stats", {})
+
     def fwd_loss(tr, im, acc):
         p = merge_params(tr, frozen)
-        losses = model.apply({"params": p}, dep(im, acc), labels, rngs=rngs)
+        v = {"params": p}
+        mut = False
+        if bstats:
+            v["batch_stats"] = bstats
+            mut = ["batch_stats"]
+        out = model.apply(v, dep(im, acc), labels, rngs=rngs, mutable=mut)
+        losses = out[0] if mut else out
         return sum_losses(losses).astype(jnp.float32)
 
     report("loss_fwd_only", lambda: time_chain(
@@ -120,8 +128,13 @@ def main():
     def fwd_bwd(tr, im, acc):
         def lf(t):
             p = merge_params(t, frozen)
-            losses = model.apply({"params": p}, dep(im, acc), labels,
-                                 rngs=rngs)
+            v = {"params": p}
+            mut = False
+            if bstats:
+                v["batch_stats"] = bstats
+                mut = ["batch_stats"]
+            out = model.apply(v, dep(im, acc), labels, rngs=rngs, mutable=mut)
+            losses = out[0] if mut else out
             return sum_losses(losses)
         loss, grads = jax.value_and_grad(lf)(tr)
         return (loss + jax.tree_util.tree_reduce(
@@ -153,7 +166,7 @@ def main():
 
     def feats_fn(v, x, train):
         return model.apply(v, x, train, rngs=rngs if train else None,
-                           method=MsVFMSegmentor._feats)
+                           method=MsVFMSegmentor._feats)  # ViT: no BN
 
     def bb_fwd(tr, x, acc):
         p = merge_params(tr, frozen)

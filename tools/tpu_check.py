@@ -99,6 +99,26 @@ def run_battery(quick: bool = False):
     check("flash_grad_dq_2049t", jax.grad(loss_flash)(q),
           jax.grad(loss_xla)(q), atol=2e-2, failures=failures)
 
+    # ---- in-kernel RoPE on the TAV primal (EVA02 fused eval path) ----
+    # reference = the XLA fallback of the SAME permuted convention, which
+    # the CPU suite pins against the head-major rotate_half path
+    from vfmseg_tpu.ops.rope import permuted_rope_tables, rope_2d_tables
+
+    cos0, sin0 = rope_2d_tables(32, 32, d)           # 1024 patch tokens
+    cos0 = jnp.concatenate([jnp.ones((1, d)), jnp.asarray(cos0)])
+    sin0 = jnp.concatenate([jnp.zeros((1, d)), jnp.asarray(sin0)])
+    cosP, sinP = permuted_rope_tables(cos0, sin0)
+    from vfmseg_tpu.ops.rope import apply_rope_permuted
+
+    qr = apply_rope_permuted(q1, cosP[None, :, None, :],
+                             sinP[None, :, None, :])
+    kr = apply_rope_permuted(k1, cosP[None, :, None, :],
+                             sinP[None, :, None, :])
+    check("flash_qkv_tav_rope_1025t",
+          flash_attention_qkv_tm(qkv1, h, rope_cs=(cosP, sinP)),
+          xla_attention(qr, kr, v1).reshape(b, n1, h * d),
+          failures=failures)
+
     if not quick:
         # ---- head-major (EVA02 RoPE path) ----
         qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))

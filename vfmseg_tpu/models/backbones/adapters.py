@@ -143,10 +143,32 @@ class HeadMajorDense(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True):
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 raw: bool = False):
         b, n, e = x.shape
         hh, d, s = self.num_heads, self.head_dim, self.slots
         kernel = self.param("kernel", self.kernel_init, (e, s * hh * d))
+        if raw:
+            # raw weight access for caller-side fusion (the EVA02 fused+rope
+            # eval path concatenates q/k/v kernels into ONE [E, 3E] matmul):
+            # returns the LoRA-FOLDED (kernel [E, s*H*D], bias or None).
+            # Only valid when folding is exact — eval, or dropout-free LoRA.
+            assert deterministic or self.lora_dropout == 0.0 \
+                or self.rank == 0, "raw weights need a dropout-free fold"
+            kern = kernel.astype(self.dtype)
+            if self.rank > 0:
+                la = self.param("lora_a", _kaiming_uniform_a5, (e, self.rank))
+                lb = self.param("lora_b", nn.initializers.zeros,
+                                (self.rank, s * hh * d))
+                kern = (kernel.astype(jnp.float32)
+                        + jnp.dot(la.astype(jnp.float32),
+                                  lb.astype(jnp.float32))
+                        * (self.alpha / self.rank)).astype(self.dtype)
+            raw_bias = None
+            if self.use_bias:
+                raw_bias = self.param("bias", nn.initializers.zeros,
+                                      (s * hh * d,)).astype(self.dtype)
+            return kern, raw_bias
         w = kernel.astype(self.dtype).reshape(e, s, hh, d)
         bias = None
         if self.use_bias:

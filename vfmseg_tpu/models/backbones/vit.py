@@ -199,6 +199,54 @@ class Attention(nn.Module):
                 qkv, cfg.num_heads, scale=cfg.qk_scale, impl=cfg.attn_impl)
             return make_dense("proj", dim, cfg.proj_bias, self.lora,
                               cfg.dtype)(out, deterministic=deterministic)
+        # EVA02 fused+rope eval path: the three split projections share one
+        # input, so their kernels CONCATENATE into a single [E, 3E] matmul
+        # — the same fused-qkv layout the token-major TAV flash primal
+        # consumes — with q/k columns permuted to the evens|odds rope
+        # convention and the rotation applied INSIDE the kernel
+        # (ops/rope.py, flash_attention.py rope=True). Scores are invariant
+        # under the joint q/k column permutation; v/proj keep the natural
+        # layout. Eval-only (deterministic): the LoRA fold must be exact,
+        # and the rope kernel path is primal-only (training keeps the
+        # head-major rope path with its flash backward).
+        import os as _os
+
+        if (cfg.attn_type == "split_subln" and cfg.use_rope
+                and rope_cs is not None and not cfg.use_rel_pos
+                and deterministic and cfg.num_heads % 2 == 0
+                and _os.environ.get("VFMSEG_EVA_FUSED_ROPE", "1") != "0"):
+            from vfmseg_tpu.ops.attention import multi_head_attention_qkv_tm
+            from vfmseg_tpu.ops.rope import (
+                evens_odds_perm, permuted_rope_tables)
+
+            wq, bq = make_headmajor_dense(
+                "q_proj", cfg.num_heads, head_dim, 1, cfg.qkv_bias,
+                self.lora, cfg.dtype)(x, deterministic=True, raw=True)
+            wk, _bk = make_headmajor_dense(
+                "k_proj", cfg.num_heads, head_dim, 1, False, self.lora,
+                cfg.dtype)(x, deterministic=True, raw=True)
+            wv, bv = make_headmajor_dense(
+                "v_proj", cfg.num_heads, head_dim, 1, cfg.qkv_bias,
+                self.lora, cfg.dtype)(x, deterministic=True, raw=True)
+            pc = evens_odds_perm(cfg.num_heads, head_dim)
+            w_f = jnp.concatenate([wq[:, pc], wk[:, pc], wv], axis=1)
+            qkv = jax.lax.dot_general(
+                x, w_f, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cfg.dtype)
+            if bq is not None or bv is not None:
+                zeros = jnp.zeros((dim,), cfg.dtype)
+                b_f = jnp.concatenate([
+                    bq[pc] if bq is not None else zeros, zeros,
+                    bv if bv is not None else zeros])
+                qkv = qkv + b_f
+            cosP, sinP = permuted_rope_tables(rope_cs[0], rope_cs[1])
+            out = multi_head_attention_qkv_tm(
+                qkv, cfg.num_heads, scale=cfg.qk_scale, impl=cfg.attn_impl,
+                rope_cs=(jnp.asarray(cosP, jnp.float32),
+                         jnp.asarray(sinP, jnp.float32)))
+            return make_dense("proj", dim, cfg.proj_bias, self.lora,
+                              cfg.dtype)(out, deterministic=deterministic)
+
         if cfg.attn_type == "fused":
             q, k, v = make_headmajor_dense(
                 "qkv", cfg.num_heads, head_dim, 3, cfg.qkv_bias, self.lora,

@@ -197,12 +197,18 @@ def multi_head_attention_qkv_tm(
     *,
     scale: Optional[float] = None,
     impl: str = "auto",
+    rope_cs=None,
 ) -> jax.Array:
     """MHA off a fused qkv projection, returning token-major [B, N, H*D].
 
     The ViT hot loop's preferred form: the Pallas primal stores attention
     output in the proj matmul's natural layout, eliminating the per-block
-    transpose+reshape relayout the [B, H, N, D] contract forces."""
+    transpose+reshape relayout the [B, H, N, D] contract forces.
+
+    rope_cs: optional (cos, sin) [N, d] tables in the evens|odds PERMUTED
+    convention (ops/rope.py) — q/k rotate inside the Pallas kernel (or in
+    the XLA fallback below, which defines the numerics). The caller must
+    have permuted the q/k projection columns to the matching layout."""
     requested = impl
     if impl == "auto":
         impl = _default_impl()
@@ -210,14 +216,22 @@ def multi_head_attention_qkv_tm(
         if num_heads % 2 == 0:
             from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
 
-            return flash_attention_qkv_tm(qkv, num_heads, scale=scale)
+            return flash_attention_qkv_tm(qkv, num_heads, scale=scale,
+                                          rope_cs=rope_cs)
         if requested != "auto":
             _warn_odd_heads_downgrade(num_heads)
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     qkv_r = qkv.reshape(b, n, 3, num_heads, d)
-    out = xla_attention(qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2],
-                        scale=scale)
+    q, k, v = qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2]
+    if rope_cs is not None:
+        from vfmseg_tpu.ops.rope import apply_rope_permuted
+
+        cos = rope_cs[0].astype(q.dtype)[None, :, None, :]
+        sin = rope_cs[1].astype(q.dtype)[None, :, None, :]
+        q = apply_rope_permuted(q, cos, sin)
+        k = apply_rope_permuted(k, cos, sin)
+    out = xla_attention(q, k, v, scale=scale)
     return out.reshape(b, n, num_heads * d)
 
 

@@ -870,9 +870,9 @@ def _fwd_kernel_qkv(*refs, scale: float, kv_len: int, block_k: int,
         o_ref[0, :, :] = jnp.concatenate(halves, axis=1)
 
 
-def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _fwd_kernel_qkv_tav(*refs, scale: float,
                         kv_len: int, block_k: int, head_dim: int,
-                        tail: int = 0):
+                        tail: int = 0, rope: bool = False):
     """Transposed-AV no-max primal: all math runs on s^T = k q^T.
 
     The natural-orientation AV matmul writes [bq, d+1]: 65 of 128 output
@@ -913,7 +913,25 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     ViT-L backbone chain): re-reading kv + copying the main output
     through a second kernel costs more HBM than the lane padding costs
     MXU. The earlier XLA-einsum tail hard-crashed the TPU worker when
-    fused around the pallas_call (b=26; see _flash_forward_qkv_tav)."""
+    fused around the pallas_call (b=26; see _flash_forward_qkv_tav).
+
+    rope=True (EVA02): two extra fp32 refs cos/sin [kv_pad, d] in the
+    evens|odds permuted convention (ops/rope.py). q rotates once per cell
+    in fp32 during the scale/cast setup; k rotates per granule in the
+    operand dtype (the same bf16 numerics as the head-major rope path).
+    The pair shuffle is a contiguous d/2 half-swap — no stride-2 vreg
+    work. v and the ones column are untouched, and rotation happens
+    BEFORE the kv tail masking so zeroed pad rows stay exactly zero."""
+    if rope:
+        q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+    d_half = head_dim // 2
+
+    def _rot(x, cos, sin):
+        swapped = jnp.concatenate([x[:, d_half:], x[:, :d_half]], axis=1)
+        return x * cos + swapped * sin
+
     pack = q_ref.shape[0]                  # batch items per grid cell
     block_q = q_ref.shape[1] - tail
     kv_pad = k_ref.shape[1]
@@ -958,11 +976,17 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             (o2, s2), (o1, s1) = bounds.pop(), bounds.pop()
             bounds.append((o1, s1 + s2))
     qs = {}
+    nq_rows = q_ref.shape[1]
+    if rope:
+        cos_q = cos_ref[:nq_rows, :]       # fp32 [nt, d]
+        sin_q = sin_ref[:nq_rows, :]
     for bb in range(pack):
         for hh in range(2):
-            qh = (q_ref[bb, :, hh * head_dim:(hh + 1) * head_dim]
-                  .astype(jnp.float32)
-                  * (scale * _LOG2E)).astype(q_ref.dtype)
+            qf = (q_ref[bb, :, hh * head_dim:(hh + 1) * head_dim]
+                  .astype(jnp.float32) * (scale * _LOG2E))
+            if rope:
+                qf = _rot(qf, cos_q, sin_q)
+            qh = qf.astype(q_ref.dtype)
             for (off, sz) in bounds:
                 qs[bb, hh, off] = (qh[off:off + sz, :].T if q_t
                                    else qh[off:off + sz, :])
@@ -974,9 +998,12 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     if tail:
         for bb in range(pack):
             for hh in range(2):
-                qt[bb, hh] = (
+                qtf = (
                     q_ref[bb, block_q:, hh * head_dim:(hh + 1) * head_dim]
                     .astype(jnp.float32) * (scale * _LOG2E))   # [tail, d]
+                if rope:
+                    qtf = _rot(qtf, cos_q[block_q:, :], sin_q[block_q:, :])
+                qt[bb, hh] = qtf
                 tail_accs[bb, hh] = jnp.zeros((tail, head_dim + 1),
                                               jnp.float32)
 
@@ -996,6 +1023,10 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                   hh * head_dim:(hh + 1) * head_dim]
         v = v_ref[bb, pl.ds(j * block_k, block_k),
                   hh * head_dim:(hh + 1) * head_dim]
+        if rope:
+            ck = cos_ref[pl.ds(j * block_k, block_k), :].astype(k.dtype)
+            sk = sin_ref[pl.ds(j * block_k, block_k), :].astype(k.dtype)
+            k = _rot(k, ck, sk)
         if masked:
             kv_row = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, k.shape, 0)
@@ -1074,7 +1105,7 @@ def _fwd_kernel_qkv_tav(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                 else jnp.concatenate(outs, axis=1))
 
 
-def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
+def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float, rope_cs=None):
     """qkv [B, N, 3HD] -> out [B, H/2, 2, D, N] (transposed layout).
 
     One q block per cell (grid = batch x head-pairs): the [.., D, N]
@@ -1122,11 +1153,15 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
     h2 = num_heads // 2
     tail = n % 128
     mode = os.environ.get("VFMSEG_FLASH_ALIGN_TAIL", "auto")
+    if rope_cs is not None and mode == "xla":
+        # the XLA-einsum tail predates in-kernel rope and would need its own
+        # rotation plumbing; the in-kernel side-chain covers the tail
+        mode = "auto"
     if tail == 1 and n > 128 and (
             mode == "1"
             or (mode == "auto" and (128 - tail) / n >= 0.10)):
         return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n - tail,
-                                           tail=tail)
+                                           tail=tail, rope_cs=rope_cs)
     if tail and n > 128 and mode == "xla":
         n_main = n - tail
         out_main = _flash_forward_qkv_tav_main(qkv, num_heads, scale, n_main)
@@ -1152,14 +1187,17 @@ def _flash_forward_qkv_tav(qkv, num_heads: int, scale: float):
                   .reshape(b, h2, 2, tail, d).transpose(0, 1, 2, 4, 3))
         out_main, o_tail = jax.lax.optimization_barrier((out_main, o_tail))
         return jnp.concatenate([out_main, o_tail], axis=-1)
-    return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n)
+    return _flash_forward_qkv_tav_main(qkv, num_heads, scale, n,
+                                       rope_cs=rope_cs)
 
 
 def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
-                                nq: int, tail: int = 0):
+                                nq: int, tail: int = 0, rope_cs=None):
     """The TAV pallas_call; chains cover queries [0:nq], a `tail` of extra
     queries (rows nq:nq+tail) rides the in-kernel VPU side-chain. kv spans
-    all n rows either way."""
+    all n rows either way. rope_cs: optional fp32 (cos, sin) [n, d] tables
+    in the evens|odds permuted convention (ops/rope.py) — in-kernel EVA02
+    rotation of q/k."""
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     h2 = num_heads // 2
@@ -1202,21 +1240,36 @@ def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
         pack -= 1
     grid = (b // pack, h2)
     nt = nq + tail
+    in_specs = [
+        pl.BlockSpec((pack, nt, 2 * d), lambda bi, hi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pack, kvp, 2 * d),
+                     lambda bi, hi: (bi, 0, h2 + hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pack, kvp, 2 * d),
+                     lambda bi, hi: (bi, 0, 2 * h2 + hi),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qkv, qkv, qkv]
+    if rope_cs is not None:
+        cosP, sinP = rope_cs
+        # rows pad to kvp with identity (cos=1, sin=0); the kv tail mask
+        # zeroes those rows after rotation anyway
+        pad = kvp - cosP.shape[0]
+        cosP = jnp.pad(cosP.astype(jnp.float32), ((0, pad), (0, 0)),
+                       constant_values=1.0)
+        sinP = jnp.pad(sinP.astype(jnp.float32), ((0, pad), (0, 0)))
+        table_spec = pl.BlockSpec((kvp, d), lambda bi, hi: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [table_spec, table_spec]
+        operands += [cosP, sinP]
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv_tav, scale=scale, kv_len=n,
-                          block_k=block_k, head_dim=d, tail=tail),
+                          block_k=block_k, head_dim=d, tail=tail,
+                          rope=rope_cs is not None),
         compiler_params=_VMEM_LIMIT,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((pack, nt, 2 * d), lambda bi, hi: (bi, 0, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pack, kvp, 2 * d),
-                         lambda bi, hi: (bi, 0, h2 + hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pack, kvp, 2 * d),
-                         lambda bi, hi: (bi, 0, 2 * h2 + hi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((pack, 1, 2, d, nt),
                                lambda bi, hi: (bi, hi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -1226,7 +1279,7 @@ def _flash_forward_qkv_tav_main(qkv, num_heads: int, scale: float,
             bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
             transcendentals=b * num_heads * nt * n,
         ),
-    )(qkv, qkv, qkv)
+    )(*operands)
 
 
 def _flash_forward_qkv(qkv, num_heads: int, scale: float,
@@ -1379,12 +1432,19 @@ _flash_qkv_tm.defvjp(_flash_qkv_tm_fwd_rule, _flash_qkv_tm_bwd_rule)
 
 
 def flash_attention_qkv_tm(qkv: jax.Array, num_heads: int, *,
-                           scale: Optional[float] = None) -> jax.Array:
+                           scale: Optional[float] = None,
+                           rope_cs=None) -> jax.Array:
     """Like :func:`flash_attention_qkv` but returns token-major [B, N, H*D].
 
     The inference primal stores each head pair as one 128-lane tile of the
     feature axis, so attention output feeds the proj matmul with no
-    transpose/reshape relayout (measured ~1 ms/block at refine shapes)."""
+    transpose/reshape relayout (measured ~1 ms/block at refine shapes).
+
+    rope_cs: optional (cos, sin) [N, d] fp32 tables in the evens|odds
+    permuted convention (ops/rope.py) — q/k rotate INSIDE the kernel
+    (EVA02 on the fast fused primal; requires the caller to permute the
+    q/k projection columns to match). Primal-only: differentiating this
+    path raises (training uses the head-major rope path)."""
     if qkv.ndim != 3:
         raise NotImplementedError("expects [B, N, 3*H*D]")
     if num_heads % 2:
@@ -1392,6 +1452,11 @@ def flash_attention_qkv_tm(qkv: jax.Array, num_heads: int, *,
     d = qkv.shape[-1] // (3 * num_heads)
     if scale is None:
         scale = d ** -0.5
+    if rope_cs is not None:
+        b, n, f = qkv.shape
+        out_t = _flash_forward_qkv_tav(qkv, num_heads, float(scale),
+                                       rope_cs=rope_cs)
+        return out_t.transpose(0, 4, 1, 2, 3).reshape(b, n, num_heads * d)
     return _flash_qkv_tm(qkv, num_heads, float(scale))
 
 

@@ -78,3 +78,59 @@ def rotate_half_mxu(x: jax.Array) -> jax.Array:
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x: [..., N, D] patch tokens; cos/sin: [N, D]."""
     return x * cos + rotate_half(x) * sin
+
+
+# ---------------------------------------------------------------------------
+# Evens|odds permuted convention — the in-kernel RoPE layout.
+#
+# rotate_half pairs consecutive dims (2i, 2i+1). Inside the fused-qkv flash
+# kernel each head is a contiguous 64-lane slice, so a stride-2 lane shuffle
+# would be required per block — vreg work the VPU does badly (see
+# rotate_half_mxu). Instead the q/k PROJECTION COLUMNS are permuted once at
+# the weight level to [evens | odds] within each head: pair partners sit a
+# fixed d/2 lanes apart and the shuffle becomes one contiguous half-swap
+# (concat of two 32-lane slices). Scores are invariant because q and k
+# columns permute identically (q.k is a sum over dims); v keeps the natural
+# layout so attention output and proj are untouched.
+#     x_rot = x * cosP + halfswap(x) * sinP
+#     cosP[:, j] = cos[:, 2*(j mod d/2)]      (cos is pair-constant)
+#     sinP[:, j] = -sin[:, 2j]        (j <  d/2: even slots, -x_odd * sin)
+#                  +sin[:, 2(j-d/2)]  (j >= d/2: odd  slots, +x_even * sin)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def evens_odds_perm(num_heads: int, head_dim: int) -> np.ndarray:
+    """Column permutation P with W[:, P] mapping each head's dims to
+    [evens | odds] order (applied to q/k projection weights + biases)."""
+    d = head_dim
+    cols = np.empty(num_heads * d, np.int64)
+    for h in range(num_heads):
+        base = h * d
+        cols[base:base + d // 2] = base + 2 * np.arange(d // 2)
+        cols[base + d // 2:base + d] = base + 2 * np.arange(d // 2) + 1
+    return cols
+
+
+def permuted_rope_tables(cos, sin):
+    """cos/sin [N, d] (pairwise convention, identity cls rows) ->
+    (cosP, sinP) [N, d] for the evens|odds half-swap formulation."""
+    d = cos.shape[-1]
+    xp = np if isinstance(cos, np.ndarray) else jnp
+    even = 2 * np.arange(d // 2)
+    idx = np.concatenate([even, even + 1])
+    cosP = cos[:, idx]
+    sinP = xp.concatenate([-sin[:, even], sin[:, even + 1]], axis=-1)
+    return cosP, sinP
+
+
+def half_swap(x):
+    """Partner lookup in the evens|odds layout: swap the two halves of the
+    last axis (x_rot = x*cosP + half_swap(x)*sinP)."""
+    d = x.shape[-1]
+    return jnp.concatenate([x[..., d // 2:], x[..., :d // 2]], axis=-1)
+
+
+def apply_rope_permuted(x, cosP, sinP):
+    """x: [..., N, d] in the evens|odds permuted layout."""
+    return x * cosP + half_swap(x) * sinP
