@@ -146,3 +146,40 @@ def test_stream_evaluate_matches_predict_fn():
     assert len(got) == 5
     for a, b in zip(got, expected):
         np.testing.assert_array_equal(a, b)
+
+
+def test_stream_fused_dispatch_matches_plain(monkeypatch):
+    """VFMSEG_STREAM_FUSE=1 (finish+next-stage1 in one jit dispatch) must
+    yield exactly the plain stream's outputs, including a non-full tail
+    group and the gate counters."""
+    import os as _os
+    import sys
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_models import build_tiny_msvfm
+
+    from vfmseg_tpu.eval.evaluator import make_compact_ms_slide
+
+    model = build_tiny_msvfm()
+    img0 = jax.random.normal(K(0), (1, 128, 128, 3))
+    lab0 = jax.random.randint(K(1), (1, 128, 128), 0, 5)
+    variables = model.init(
+        {"params": K(2), "crop": K(3), "mask": K(4), "dropout": K(5)},
+        img0, lab0)
+    test_cfg = dict(mode="ms_slide_inference", gate="compact",
+                    threshold=0.968, conf=0.8, lr_img_size=(64, 64),
+                    stride=(32, 32), crop_size=(64, 64))
+    images = [jax.random.normal(K(30 + i), (128, 128, 3)) for i in range(7)]
+
+    engine, _ = make_compact_ms_slide(model, test_cfg)
+    plain = [np.asarray(o) for o in
+             engine.stream(variables, images, group=2, depth=2)]
+    stats_plain = (engine.stat_windows, engine.stat_refined)
+
+    monkeypatch.setenv("VFMSEG_STREAM_FUSE", "1")
+    engine2, _ = make_compact_ms_slide(model, test_cfg)
+    fused = [np.asarray(o) for o in
+             engine2.stream(variables, images, group=2, depth=2)]
+    assert (engine2.stat_windows, engine2.stat_refined) == stats_plain
+    assert len(fused) == len(plain) == 7
+    for a, b in zip(fused, plain):
+        np.testing.assert_allclose(a, b, atol=1e-5)

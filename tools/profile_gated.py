@@ -70,7 +70,9 @@ def time_chain(make_fn, iters, *args):
             float(one(args, acc))
             break
         except jax.errors.JaxRuntimeError as exc:
-            if "UNAVAILABLE" not in str(exc) or attempt == 3:
+            transient = any(s in str(exc) for s in (
+                "UNAVAILABLE", "remote_compile", "response body closed"))
+            if not transient or attempt == 3:
                 raise
             print(json.dumps({"retry": attempt + 1,
                               "error": str(exc)[:120]}), flush=True)

@@ -110,8 +110,8 @@ def main():
     # ---- forward loss only (no grad) ------------------------------------
     bstats = variables.get("batch_stats", {})
 
-    def fwd_loss(tr, im, acc):
-        p = merge_params(tr, frozen)
+    def fwd_loss(tr, fz, im, acc):
+        p = merge_params(tr, fz)
         v = {"params": p}
         mut = False
         if bstats:
@@ -122,12 +122,12 @@ def main():
         return sum_losses(losses).astype(jnp.float32)
 
     report("loss_fwd_only", lambda: time_chain(
-        fwd_loss, args.iters, trainable, img))
+        fwd_loss, args.iters, trainable, frozen, img))
 
     # ---- forward+backward (no optimizer) --------------------------------
-    def fwd_bwd(tr, im, acc):
+    def fwd_bwd(tr, fz, im, acc):
         def lf(t):
-            p = merge_params(t, frozen)
+            p = merge_params(t, fz)
             v = {"params": p}
             mut = False
             if bstats:
@@ -142,7 +142,7 @@ def main():
             grads, jnp.float32(0.0))).astype(jnp.float32)
 
     report("loss_fwd_bwd", lambda: time_chain(
-        fwd_bwd, args.iters, trainable, img))
+        fwd_bwd, args.iters, trainable, frozen, img))
 
     # ---- optimizer update alone -----------------------------------------
     if wanted("optimizer_update_only"):
@@ -168,17 +168,17 @@ def main():
         return model.apply(v, x, train, rngs=rngs if train else None,
                            method=MsVFMSegmentor._feats)  # ViT: no BN
 
-    def bb_fwd(tr, x, acc):
-        p = merge_params(tr, frozen)
+    def bb_fwd(tr, fz, x, acc):
+        p = merge_params(tr, fz)
         f = feats_fn({"params": p}, dep(x, acc), True)
         return jnp.sum(f[-1][:, ::7, ::7, ::97]).astype(jnp.float32)
 
     report(f"backbone_fwd_{2*bs}x{crop_hw[0]}", lambda: time_chain(
-        bb_fwd, args.iters, trainable, x4))
+        bb_fwd, args.iters, trainable, frozen, x4))
 
-    def bb_fwd_bwd(tr, x, acc):
+    def bb_fwd_bwd(tr, fz, x, acc):
         def lf(t):
-            p = merge_params(t, frozen)
+            p = merge_params(t, fz)
             f = feats_fn({"params": p}, dep(x, acc), True)
             return sum(jnp.sum(fi.astype(jnp.float32) ** 2) for fi in f)
         loss, grads = jax.value_and_grad(lf)(tr)
@@ -187,38 +187,149 @@ def main():
             grads, jnp.float32(0.0))).astype(jnp.float32)
 
     report(f"backbone_fwd_bwd_{2*bs}x{crop_hw[0]}", lambda: time_chain(
-        bb_fwd_bwd, args.iters, trainable, x4))
+        bb_fwd_bwd, args.iters, trainable, frozen, x4))
 
     # ---- flash attention fwd / bwd at the train shape -------------------
+    # one large-batch call instead of a fori_loop of 24 kernels (the loop
+    # formulation faulted the TPU worker); batch 48 ~ 24 blocks x bs2
     from vfmseg_tpu.ops.attention import multi_head_attention
 
     ntok = (crop_hw[0] // 16) * (crop_hw[1] // 16) + 1
-    q = jax.random.normal(jax.random.PRNGKey(4), (2 * bs, ntok, 16, 64),
-                          dtype)
+    qb = jax.random.normal(jax.random.PRNGKey(4), (48, ntok, 16, 64), dtype)
 
     def attn_fwd(q, acc):
         qq = dep(q, acc)
         o = multi_head_attention(qq, qq, qq)
-        return jnp.sum(o[:, ::31, :, ::17]).astype(jnp.float32)
+        return jnp.sum(o[:, ::31, :, ::17].astype(jnp.float32))
 
-    report(f"flash_fwd_{2*bs}x{ntok}t_24x", lambda: time_chain(
-        lambda q, acc: jax.lax.fori_loop(
-            0, 24, lambda i, a: a + attn_fwd(q, a * 1e-12),
-            attn_fwd(q, acc)),
-        args.iters, q))
+    report(f"flash_fwd_48x{ntok}t", lambda: time_chain(
+        attn_fwd, args.iters, qb))
 
     def attn_bwd(q, acc):
         def lf(qq):
             o = multi_head_attention(qq, qq, qq)
             return jnp.sum(o.astype(jnp.float32) ** 2)
         l, g = jax.value_and_grad(lf)(dep(q, acc))
-        return (l * 1e-12 + jnp.sum(jnp.abs(g).astype(jnp.float32)) * 1e-12)
+        return l * 1e-12 + jnp.sum(jnp.abs(g).astype(jnp.float32)) * 1e-12
 
-    report(f"flash_fwd_bwd_{2*bs}x{ntok}t_24x", lambda: time_chain(
-        lambda q, acc: jax.lax.fori_loop(
-            0, 24, lambda i, a: a + attn_bwd(q, a * 1e-12),
-            attn_bwd(q, acc)),
-        args.iters, q))
+    report(f"flash_fwd_bwd_48x{ntok}t", lambda: time_chain(
+        attn_bwd, args.iters, qb))
+
+    # ---- flash bwd kernels alone vs the full vjp ------------------------
+    # the tm vjp pays qkv->head-major transposes + dqkv reassembly around
+    # the two bwd kernels; this isolates the kernel time on ready operands
+    if wanted("flash_bwd_kernels"):
+        from vfmseg_tpu.ops.flash_attention import (
+            _flash_backward_hm, _flash_forward_qkv)
+
+        qkv48 = jnp.concatenate([qb.reshape(48, ntok, 16 * 64)] * 3, -1)
+        out_hm, lse = jax.jit(
+            lambda z: _flash_forward_qkv(z, 16, 64 ** -0.5))(qkv48)
+        out_hm = jnp.asarray(out_hm)
+        lse = jnp.asarray(lse)
+        qh48 = jnp.asarray(qb.transpose(0, 2, 1, 3))
+        g_hm = jax.random.normal(jax.random.PRNGKey(5), out_hm.shape, dtype)
+
+        def bwd_kernels(q, o, l, g, acc):
+            dq, dk, dv = _flash_backward_hm(
+                dep(q, acc), q, q, l, o, g, 64 ** -0.5, exp2_scale_q=True)
+            return (jnp.sum(jnp.abs(dq[:, :, ::31, ::17])) * 1e-6
+                    + jnp.sum(jnp.abs(dk[:, :, ::31, ::17])) * 1e-6
+                    + jnp.sum(jnp.abs(dv[:, :, ::31, ::17])) * 1e-6
+                    ).astype(jnp.float32)
+
+        report(f"flash_bwd_kernels_48x{ntok}t", lambda: time_chain(
+            bwd_kernels, args.iters, qh48, out_hm, lse, g_hm))
+
+    # ---- heads + loss, backbone excluded --------------------------------
+    # run the full two-scale loss on PRECOMPUTED backbone features by
+    # differencing: (loss fwd) - (backbone fwd x2 views) is reported above;
+    # here: the decode/aux heads alone on captured feature shapes
+    if wanted("heads"):
+        from vfmseg_tpu.models.losses import cross_entropy_loss
+
+        p_all = merge_params(trainable, frozen)
+        feats1 = jax.jit(lambda tr, fz, x: feats_fn(
+            {"params": merge_params(tr, fz)}, x, False))(trainable, frozen,
+                                                         x4)
+        feats1 = jax.tree.map(jnp.asarray, feats1)
+        lrf = jax.tree.map(lambda t: t[:bs], feats1)
+        hrf = jax.tree.map(lambda t: t[bs:], feats1)
+        ctx = jax.random.normal(jax.random.PRNGKey(8),
+                                (bs, crop_hw[0] // 2, crop_hw[1] // 2, 19),
+                                dtype)
+
+        def heads_fwd(tr, fz, ft_lr, ft_hr, c, acc):
+            p = merge_params(tr, fz)
+            v = {"params": p}
+            mut = False
+            if bstats:
+                v["batch_stats"] = bstats
+                mut = ["batch_stats"]
+            ft_lr = jax.tree.map(lambda t: dep(t, acc), ft_lr)
+            lr_logits = model.apply(
+                v, ft_lr, True, rngs=rngs, mutable=mut,
+                method=lambda m, f, t: m.decode_head(f, train=t))
+            hr_logits = model.apply(
+                v, ft_hr, c, True, rngs=rngs, mutable=mut,
+                method=lambda m, f, cc, t: m.aux_head(f, cc, train=t,
+                                                      mask_enable=True))
+            if mut:
+                lr_logits, hr_logits = lr_logits[0], hr_logits[0]
+            return (jnp.sum(lr_logits[:, ::31, ::31].astype(jnp.float32))
+                    + jnp.sum(hr_logits[:, ::31, ::31].astype(jnp.float32)))
+
+        report("heads_fwd_only", lambda: time_chain(
+            heads_fwd, args.iters, trainable, frozen, lrf, hrf, ctx))
+
+        lab2 = jax.random.randint(jax.random.PRNGKey(9),
+                                  (bs,) + crop_hw, 0, 19)
+        lg = jax.random.normal(jax.random.PRNGKey(11),
+                               (bs, crop_hw[0] // 4, crop_hw[1] // 4, 19),
+                               dtype)
+
+        def resize_ce(x, lab, acc):
+            from vfmseg_tpu.ops.resize import resize as _resize
+            up = _resize(dep(x, acc), size=crop_hw, method="bilinear")
+            return cross_entropy_loss(up, lab)
+
+        report("resize_ce_128to512", lambda: time_chain(
+            resize_ce, args.iters, lg, lab2))
+
+        def resize_only(x, acc):
+            from vfmseg_tpu.ops.resize import resize as _resize
+            up = _resize(dep(x, acc), size=crop_hw, method="bilinear")
+            return jnp.sum(up[:, ::63, ::63].astype(jnp.float32))
+
+        report("resize_only_128to512_c19", lambda: time_chain(
+            resize_only, args.iters, lg))
+
+        big = jax.random.normal(jax.random.PRNGKey(12),
+                                (bs,) + crop_hw + (19,), dtype)
+
+        def ce_only(x, lab, acc):
+            return cross_entropy_loss(dep(x, acc), lab)
+
+        report("ce_only_512_c19", lambda: time_chain(
+            ce_only, args.iters, big, lab2))
+
+        def img_resize(x, acc):
+            from vfmseg_tpu.ops.resize import resize as _resize
+            return jnp.sum(_resize(dep(x, acc), scale_factor=0.5,
+                                   method="bilinear")[:, ::63, ::63]
+                           .astype(jnp.float32))
+
+        report("img_resize_1024to512_c3", lambda: time_chain(
+            img_resize, args.iters, img))
+
+        def lab_down(x, acc):
+            from vfmseg_tpu.ops.resize import nearest_downsample_2x
+            y = x + (acc * 0).astype(x.dtype)
+            return jnp.sum(nearest_downsample_2x(y)[:, ::63, ::63]
+                           .astype(jnp.float32))
+
+        report("label_downsample_1024to512", lambda: time_chain(
+            lab_down, args.iters, labels))
 
     # ---- analytic FLOP references ---------------------------------------
     f_fwd = 2 * bs * 2 * vit_fwd_flops(ntok)

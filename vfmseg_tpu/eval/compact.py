@@ -29,7 +29,7 @@ mask is 0/1 so the fp32 box sums are exact regardless of reduction order).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +154,8 @@ class CompactMsSlide:
             return img, full, conf
 
         self._stage1_tuple = jax.jit(_stage1_tuple_impl, static_argnums=(2,))
-        self._refine: Dict[int, Callable] = {}
+        self._refine: Dict[Any, Callable] = {}
+        self._raw_finish: Dict[Any, Callable] = {}
         self.reset_stats()
 
     def reset_stats(self):
@@ -304,7 +305,32 @@ class CompactMsSlide:
             # (__call__ and stream both drop them), and without donation
             # XLA must copy the [G, H, W, C] base before the in-place
             # blend chain mutates it (~0.3 GB per group at bench shapes)
+            self._raw_finish[key] = fn
             self._refine[key] = jax.jit(fn, donate_argnums=(1, 2))
+        return self._refine[key]
+
+    def _finish_fused_fn(self, k: int, img_hw: Tuple[int, int],
+                         split: bool = True) -> Callable:
+        """finish(group i) + stage1(group i+depth) fused into ONE jit
+        dispatch — the stream's two per-group dispatches ride a ~ms of
+        host/relay time each; fusing halves the per-group dispatch cost
+        (VFMSEG_STREAM_FUSE). The next group's images stack inside the jit
+        (same trick as _stage1_tuple) and its stage-1 outputs return
+        alongside the finished logits. jax.jit retraces per next-group
+        shape, so heterogeneous tails still work."""
+        key = ("fused", k, img_hw, split)
+        if key not in self._refine:
+            self._finish_fn(k, img_hw, split)       # populate _raw_finish
+            raw = self._raw_finish[(k, img_hw, split)]
+
+            def fused(variables, img, full, confidence, real, next_imgs):
+                outs = raw(variables, img, full, confidence, real)
+                nimg = jnp.stack(next_imgs)
+                nfull, nconf = self._stage1_impl(
+                    variables, nimg, tuple(next_imgs[0].shape[:2]))
+                return outs, nimg, nfull, nconf
+
+            self._refine[key] = jax.jit(fused, donate_argnums=(1, 2))
         return self._refine[key]
 
     def __call__(self, variables, img: jax.Array) -> jax.Array:
@@ -315,7 +341,7 @@ class CompactMsSlide:
         return self._finish(variables, img, full, confidence, conf_host)
 
     def _finish(self, variables, img, full, confidence, conf_host,
-                real=None, split=False):
+                real=None, split=False, next_buf=None):
         """The host readback (`conf_host`) picks only the STATIC bucket
         size k and feeds the gate stats; the actual window ids are
         re-derived on device inside the finish jit from `confidence`
@@ -339,6 +365,11 @@ class CompactMsSlide:
         if k and self._nshard > 1:
             # refine batch shards over the data axis: pad to a multiple
             k = -(-k // self._nshard) * self._nshard
+        if next_buf is not None:
+            logits, nimg, nfull, nconf = self._finish_fused_fn(
+                k, (h, w), split)(variables, img, full, confidence,
+                                  jnp.int32(real), tuple(next_buf))
+            return logits, len(need), (nimg, nfull, nconf)
         logits = self._finish_fn(k, (h, w), split)(
             variables, img, full, confidence, jnp.int32(real))
         return logits, len(need)
@@ -396,6 +427,22 @@ class CompactMsSlide:
                 yield pad_to_shards(buf)
 
         pending = deque()
+        # fused mode: finish(group i) + stage1(group i+depth) in ONE jit
+        # dispatch per steady-state group instead of two (the dispatch
+        # itself costs ~ms of host/relay time; see _finish_fused_fn)
+        import os as _os
+
+        fuse = (_os.environ.get("VFMSEG_STREAM_FUSE", "0") == "1"
+                and self._img_sharding is None)
+
+        def start_readback(confidence):
+            # start the tiny gate readback NOW so it rides along while later
+            # groups dispatch — np.asarray at pop time then returns
+            # immediately instead of paying the relay round-trip
+            try:
+                confidence.copy_to_host_async()
+            except AttributeError:
+                pass
 
         def finish(img, full, confidence, real):
             logits, _n = self._finish(variables, img, full, confidence,
@@ -406,6 +453,16 @@ class CompactMsSlide:
 
         for buf, real in chunks():
             h, w = buf[0].shape[0], buf[0].shape[1]
+            if fuse and len(pending) >= max(depth, 1):
+                img_o, full_o, conf_o, real_o = pending.popleft()
+                logits, _n, nxt = self._finish(
+                    variables, img_o, full_o, conf_o, np.asarray(conf_o),
+                    real=real_o, split=True, next_buf=buf)
+                start_readback(nxt[2])
+                pending.append((nxt[0], nxt[1], nxt[2], real))
+                for i in range(real_o):
+                    yield logits[i]
+                continue
             if self._img_sharding is not None:
                 img = jax.device_put(jnp.stack(buf), self._img_sharding)
                 full, confidence = self._stage1(variables, img, (h, w))
@@ -414,15 +471,9 @@ class CompactMsSlide:
                 # stacked batch returned for the finish fn
                 img, full, confidence = self._stage1_tuple(
                     variables, tuple(buf), (h, w))
-            # start the tiny gate readback NOW so it rides along while later
-            # groups dispatch — np.asarray at pop time then returns
-            # immediately instead of paying the relay round-trip
-            try:
-                confidence.copy_to_host_async()
-            except AttributeError:
-                pass
+            start_readback(confidence)
             pending.append((img, full, confidence, real))
-            if len(pending) > depth:
+            if not fuse and len(pending) > depth:
                 yield from finish(*pending.popleft())
         while pending:
             yield from finish(*pending.popleft())

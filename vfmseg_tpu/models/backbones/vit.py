@@ -215,7 +215,6 @@ class Attention(nn.Module):
                 and rope_cs is not None and not cfg.use_rel_pos
                 and deterministic and cfg.num_heads % 2 == 0
                 and _os.environ.get("VFMSEG_EVA_FUSED_ROPE", "1") != "0"):
-            from vfmseg_tpu.ops.attention import multi_head_attention_qkv_tm
             from vfmseg_tpu.ops.rope import (
                 evens_odds_perm, permuted_rope_tables)
 
