@@ -656,3 +656,46 @@ class TestInKernelRope:
                         jax.tree_util.tree_leaves(got)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestQkvDirectBackward:
+    """Token-major qkv-direct flash backward (no operand/grad transposes)
+    vs the head-major backward route and XLA autodiff."""
+
+    def _grads(self, qkv, h, monkeypatch, mode):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vfmseg_tpu.ops.flash_attention import flash_attention_qkv_tm
+
+        monkeypatch.setenv("VFMSEG_FLASH_QKV_BWD", mode)
+
+        def loss(z):
+            return jnp.sum(flash_attention_qkv_tm(z, h).astype(jnp.float32)
+                           ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(jax.grad(loss)(qkv))
+
+    def test_direct_matches_hm_and_xla(self, monkeypatch):
+        b, n, h, d = 2, 130, 2, 16
+        qkv = _rand(95, (b, n, 3 * h * d))
+        g_direct = self._grads(qkv, h, monkeypatch, "direct")
+        g_hm = self._grads(qkv, h, monkeypatch, "hm")
+        np.testing.assert_allclose(g_direct, g_hm, rtol=2e-4, atol=2e-4)
+
+        def loss_xla(z):
+            zr = z.reshape(b, n, 3, h, d)
+            o = xla_attention(zr[:, :, 0], zr[:, :, 1], zr[:, :, 2])
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g_xla = np.asarray(jax.grad(loss_xla)(qkv))
+        np.testing.assert_allclose(g_direct, g_xla, rtol=3e-3, atol=3e-3)
+
+    def test_direct_matches_hm_multiblock(self, monkeypatch):
+        # a length above the single-block limit exercises the blocked kv
+        # loop and the padded q tail in the dkv kernel
+        b, n, h, d = 1, 1100 + 60, 2, 16
+        qkv = _rand(96, (b, n, 3 * h * d)) * 0.5
+        g_direct = self._grads(qkv, h, monkeypatch, "direct")
+        g_hm = self._grads(qkv, h, monkeypatch, "hm")
+        np.testing.assert_allclose(g_direct, g_hm, rtol=3e-4, atol=3e-4)

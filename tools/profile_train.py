@@ -245,7 +245,8 @@ def main():
     # run the full two-scale loss on PRECOMPUTED backbone features by
     # differencing: (loss fwd) - (backbone fwd x2 views) is reported above;
     # here: the decode/aux heads alone on captured feature shapes
-    if wanted("heads"):
+    if any(wanted(t) for t in ("heads", "resize", "ce_only", "img_resize",
+                               "label_down")):
         from vfmseg_tpu.models.losses import cross_entropy_loss
 
         p_all = merge_params(trainable, frozen)

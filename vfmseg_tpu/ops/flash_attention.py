@@ -1380,6 +1380,202 @@ def _flash_qkv_bwd_rule(num_heads: int, scale: float, res, g):
 _flash_qkv.defvjp(_flash_qkv_fwd_rule, _flash_qkv_bwd_rule)
 
 
+# --------------------------------------------------------------------------
+# qkv-direct backward (token-major residuals end to end)
+#
+# The hm backward route pays 5 HBM relayout passes around its kernels:
+# q/k/v sliced+transposed out of qkv, g transposed head-major, and the
+# dq/dk/dv stack+transpose reassembly into d(qkv) — ~3.3 ms per 48x1025
+# batch on v5e (tools/profile_train.py), pure layout work. These kernels
+# read q/k/v as lane-offset views of the SAME qkv array (exactly like the
+# fused forward), consume g and out in the token-major layout the proj
+# backward hands over, and write dq/dk/dv as token-major [B, N, HD] thirds
+# that concatenate (one contiguous minor-axis copy) into d(qkv).
+# --------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, *, scale: float, kv_len: int, block_k: int,
+                       head_dim: int):
+    d = head_dim
+    kv_pad = k_ref.shape[1]
+    num_kv = kv_pad // block_k
+    has_tail = kv_len < kv_pad
+    for hh in range(2):
+        q = q_ref[0, :, hh * d:(hh + 1) * d]
+        do = do_ref[0, :, hh * d:(hh + 1) * d]
+        lse = lse_ref[0, 0, hh, :, :]            # [bq, 1] fp32
+        delta = delta_ref[0, 0, hh, :, :]
+        block_q = q.shape[0]
+        qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+        def step(j, dq, masked):
+            k = k_ref[0, pl.ds(j * block_k, block_k), hh * d:(hh + 1) * d]
+            v = v_ref[0, pl.ds(j * block_k, block_k), hh * d:(hh + 1) * d]
+            if masked:
+                kv_row = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, k.shape, 0)
+                k = jnp.where(kv_row < kv_len, k, 0)
+                v = jnp.where(kv_row < kv_len, v, 0)
+            s = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if masked:
+                col = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                s = jnp.where(col < kv_len, s, _NEG_INF)
+            p = jnp.exp2(s - lse * _LOG2E)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = ((p * (dp - delta)) * scale).astype(k.dtype)
+            return dq + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dq = jnp.zeros((block_q, d), jnp.float32)
+        for j in range(num_kv - 1 if has_tail else num_kv):
+            dq = step(j, dq, masked=False)
+        if has_tail:
+            dq = step(num_kv - 1, dq, masked=True)
+        dq_ref[0, :, hh * d:(hh + 1) * d] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dk_ref, dv_ref, *, scale: float, q_len: int,
+                        block_q: int, head_dim: int):
+    d = head_dim
+    q_pad = q_ref.shape[1]
+    num_q = q_pad // block_q
+    has_q_tail = q_len < q_pad
+    for hh in range(2):
+        k = k_ref[0, :, hh * d:(hh + 1) * d]
+        v = v_ref[0, :, hh * d:(hh + 1) * d]
+        block_k = k.shape[0]
+
+        def body(i, carry):
+            dk, dv = carry
+            q = q_ref[0, pl.ds(i * block_q, block_q), hh * d:(hh + 1) * d]
+            do = do_ref[0, pl.ds(i * block_q, block_q), hh * d:(hh + 1) * d]
+            lse = lse_ref[0, 0, hh, pl.ds(i * block_q, block_q), :]
+            delta = delta_ref[0, 0, hh, pl.ds(i * block_q, block_q), :]
+            if has_q_tail:
+                qd_row = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, q.shape, 0)
+                q = jnp.where(qd_row < q_len, q, 0)
+                do = jnp.where(qd_row < q_len, do, 0)
+            qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+            s = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp2(s - lse * _LOG2E)
+            if has_q_tail:
+                row = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, p.shape, 0)
+                p = jnp.where(row < q_len, p, 0.0)
+            dv_new = dv + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds_raw = p * (dp - delta)
+            if has_q_tail:
+                ds_raw = jnp.where(row < q_len, ds_raw, 0.0)
+            ds = (ds_raw * scale).astype(q.dtype)
+            dk_new = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_new, dv_new
+
+        carry = (jnp.zeros((block_k, d), jnp.float32),
+                 jnp.zeros((block_k, d), jnp.float32))
+        for i in range(num_q):
+            carry = body(i, carry)
+        dk, dv = carry
+        dk_ref[0, :, hh * d:(hh + 1) * d] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, hh * d:(hh + 1) * d] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_qkv_tm(qkv, g_tm, out_tm, lse, scale: float,
+                           num_heads: int):
+    """qkv [B,N,3HD] + token-major g/out + lse [B,H,N,1] -> d(qkv).
+
+    Probabilities recompute from the exp2-folded pre-scaled q exactly as
+    the fused forward computed them (exp2_scale_q semantics)."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    h2 = num_heads // 2
+    block_q, block_k = _blocks(n, n)
+    kvp = _round_up(n, block_k)
+    qp = _round_up(n, block_q)
+
+    # per-(token, head) delta = rowsum(dO * O), computed token-major then
+    # relayouted as a [B, H, N, 1] fp32 array (262 KB at train shapes —
+    # noise next to the 25 MB operand transposes this path removes)
+    delta = jnp.sum(
+        (g_tm.astype(jnp.float32) * out_tm.astype(jnp.float32))
+        .reshape(b, n, num_heads, d), axis=-1).transpose(0, 2, 1)[..., None]
+    lse5 = lse.reshape(b, h2, 2, n, 1)
+    delta5 = delta.reshape(b, h2, 2, n, 1)
+
+    qkv_spec_q = pl.BlockSpec((1, block_q, 2 * d),
+                              lambda bi, hi, i: (bi, i, hi),
+                              memory_space=pltpu.VMEM)
+    qkv_spec_kv_full = [
+        pl.BlockSpec((1, kvp, 2 * d), lambda bi, hi, i: (bi, 0, h2 + hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvp, 2 * d), lambda bi, hi, i: (bi, 0, 2 * h2 + hi),
+                     memory_space=pltpu.VMEM),
+    ]
+    rowvec_q = pl.BlockSpec((1, 1, 2, block_q, 1),
+                            lambda bi, hi, i: (bi, hi, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_qkv, scale=scale, kv_len=n,
+                          block_k=block_k, head_dim=d),
+        compiler_params=_VMEM_LIMIT,
+        grid=(b, h2, pl.cdiv(n, block_q)),
+        in_specs=[qkv_spec_q] + qkv_spec_kv_full + [
+            qkv_spec_q,                               # do (token-major)
+            rowvec_q, rowvec_q],                      # lse, delta
+        out_specs=pl.BlockSpec((1, block_q, 2 * d),
+                               lambda bi, hi, i: (bi, i, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+    )(qkv, qkv, qkv, g_tm,
+      lse5.reshape(b, h2, 2, n, 1), delta5)
+
+    q_full = pl.BlockSpec((1, qp, 2 * d), lambda bi, hi, i: (bi, 0, hi),
+                          memory_space=pltpu.VMEM)
+    kv_spec_k = pl.BlockSpec((1, block_k, 2 * d),
+                             lambda bi, hi, i: (bi, i, h2 + hi),
+                             memory_space=pltpu.VMEM)
+    kv_spec_v = pl.BlockSpec((1, block_k, 2 * d),
+                             lambda bi, hi, i: (bi, i, 2 * h2 + hi),
+                             memory_space=pltpu.VMEM)
+    rowvec_full = pl.BlockSpec((1, 1, 2, qp, 1),
+                               lambda bi, hi, i: (bi, hi, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_qkv, scale=scale, q_len=n,
+                          block_q=block_q, head_dim=d),
+        compiler_params=_VMEM_LIMIT,
+        grid=(b, h2, pl.cdiv(n, block_k)),
+        in_specs=[q_full, kv_spec_k, kv_spec_v, q_full,
+                  rowvec_full, rowvec_full],
+        out_specs=(
+            pl.BlockSpec((1, block_k, 2 * d), lambda bi, hi, i: (bi, i, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 2 * d), lambda bi, hi, i: (bi, i, hi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype)),
+    )(qkv, qkv, qkv, g_tm, lse5, delta5)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _flash_qkv_tm(qkv, num_heads: int, scale: float):
     # primal: the [B, N, E] output contract. With the interleaved-halves
@@ -1403,19 +1599,26 @@ def _flash_qkv_tm(qkv, num_heads: int, scale: float):
 
 
 def _flash_qkv_tm_fwd_rule(qkv, num_heads: int, scale: float):
-    # training fwd keeps the head-major kernel (the bwd consumes head-major
-    # lse/out anyway); one transpose pass to the [B, N, E] output contract
+    # training fwd keeps the head-major kernel (exact online softmax +
+    # lse); one transpose pass to the [B, N, E] output contract, and the
+    # TOKEN-major out doubles as the residual for the qkv-direct backward
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
     out_hm, lse = _flash_forward_qkv(qkv, num_heads, scale)
     out = out_hm.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
-    return out, (qkv, lse, out_hm)
+    if os.environ.get("VFMSEG_FLASH_QKV_BWD", "direct") == "hm":
+        return out, (qkv, lse, out_hm, None)
+    return out, (qkv, lse, None, out)
 
 
 def _flash_qkv_tm_bwd_rule(num_heads: int, scale: float, res, g):
-    qkv, lse, out_hm = res
+    qkv, lse, out_hm, out_tm = res
     b, n, f = qkv.shape
     d = f // (3 * num_heads)
+    if out_tm is not None:
+        # qkv-direct: no operand/grad transposes (see _flash_backward_qkv_tm)
+        return (_flash_backward_qkv_tm(qkv, g, out_tm, lse, scale,
+                                       num_heads),)
     g_hm = g.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
     qkv_r = qkv.reshape(b, n, 3, num_heads, d)
     q = qkv_r[:, :, 0].transpose(0, 2, 1, 3)
