@@ -195,3 +195,49 @@ config = dict(
     for key in ("wide", "bddlike", "portrait"):
         assert np.isfinite(results[f"{key}_mIoU"]), results
     assert np.isfinite(results["mean_mIoU"])
+
+
+def test_pad_to_min_bucketing_math():
+    from vfmseg_tpu.eval.evaluator import _pad_to_min
+
+    img = jnp.zeros((1, 700, 1365, 3))
+    padded, valid = _pad_to_min(img, (512, 512), multiple=256)
+    assert valid == (700, 1365)
+    assert padded.shape == (1, 768, 1536, 3)
+    # below-crop images land on the crop-floor bucket
+    img2 = jnp.zeros((1, 300, 400, 3))
+    padded2, valid2 = _pad_to_min(img2, (512, 512), multiple=256)
+    assert valid2 == (300, 400)
+    assert padded2.shape == (1, 512, 512, 3)
+    # no multiple: min-crop pad only
+    padded3, _ = _pad_to_min(img2, (512, 512))
+    assert padded3.shape == (1, 512, 512, 3)
+
+
+def test_bucketed_stream_and_predictor_run(tmp_path):
+    """Heterogeneous shapes through the bucketed stream + predictor: valid
+    regions crop back, outputs are label-resolution and finite, and the
+    bucket grid bounds the distinct processed shapes."""
+    import jax
+
+    from vfmseg_tpu.eval.evaluator import (
+        make_shape_aware_predict_fn, stream_evaluate)
+
+    cfg, model = _tiny_model()
+    variables = _init_vars(model)
+    test_cfg = dict(cfg.test_cfg, gate="compact")
+    shapes = [(128, 128), (96, 120), (70, 90), (128, 100)]
+    images = [jax.random.normal(jax.random.PRNGKey(40 + i), hw + (3,))
+              for i, hw in enumerate(shapes)]
+    out_hws = [(h + 3, w + 5) for (h, w) in shapes]
+    it = iter(out_hws)
+    preds = list(stream_evaluate(
+        model, variables, test_cfg, images, None, group=2,
+        out_hw_iter=it, pad_multiple=64))
+    assert [tuple(p.shape) for p in preds] == out_hws
+    assert all(bool(jnp.isfinite(p).all()) for p in preds)
+
+    predict = make_shape_aware_predict_fn(model, test_cfg, pad_multiple=64)
+    for img, hw, want in zip(images, out_hws, preds):
+        p = predict(variables, img[None], hw)[0]
+        assert tuple(p.shape) == hw

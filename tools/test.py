@@ -117,6 +117,10 @@ def main():
 
         n_imgs = min(args.max_images or len(dataset), len(dataset))
         test_cfg = cfg.get("test_cfg", {})
+        # eval shape-bucketing (SURVEY §7.3): quantize keep-ratio sizes up
+        # to multiples of data.eval_pad_multiple so Mapillary-style
+        # heterogeneity compiles a bounded set of inference graphs
+        pad_mult = cfg.get_path("data.eval_pad_multiple", None)
 
         def save_pred(pred, raw, i):
             if not args.show_dir:
@@ -166,7 +170,7 @@ def main():
             preds = stream_evaluate(
                 model, variables, test_cfg, image_iter(), None,
                 group=test_cfg.get("stream_group", 8), mesh=mesh,
-                out_hw_iter=out_hw_iter())
+                out_hw_iter=out_hw_iter(), pad_multiple=pad_mult)
             for pred in preds:
                 raw, label, _hw, i = meta.popleft()
                 acc.update(pred, label, key)
@@ -174,8 +178,9 @@ def main():
         else:
             from vfmseg_tpu.eval.evaluator import make_shape_aware_predict_fn
 
-            predict = make_shape_aware_predict_fn(model, test_cfg,
-                                                  tta=args.tta, mesh=mesh)
+            predict = make_shape_aware_predict_fn(
+                model, test_cfg, tta=args.tta, mesh=mesh,
+                pad_multiple=pad_mult)
             for i in range(n_imgs):
                 raw = dataset[i]
                 proc = pipeline(raw["img"], raw.get("label"))

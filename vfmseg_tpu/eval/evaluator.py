@@ -157,40 +157,68 @@ def make_compact_ms_slide(model, test_cfg: Dict, mesh=None):
 
 
 def stream_evaluate(model, variables, test_cfg: Dict, images, out_hw,
-                    group: int = 8, mesh=None, out_hw_iter=None):
+                    group: int = 8, mesh=None, out_hw_iter=None,
+                    pad_multiple: Optional[int] = None):
     """Throughput eval: yield per-image [H, W] predictions for a stream of
     preprocessed images via CompactMsSlide.stream (grouped stage-1 +
     pipelined gate; see bench.py). The stream flushes groups on shape
     changes, so per-dataset keep-ratio geometry works; `out_hw_iter`
     optionally supplies each image's label resolution (reference mmseg
     postprocess resizes logits back per image) — else `out_hw` is used
-    for all."""
+    for all. pad_multiple: optional eval shape-bucketing (`_pad_to_min`) —
+    heterogeneous sets collapse onto few compiled shapes AND group
+    together in the stream (same bucket => same shape => full groups)."""
+    from collections import deque
+
     engine, rescope = make_compact_ms_slide(model, test_cfg or {}, mesh=mesh)
     if rescope is not None:
         variables = rescope(variables)
-    finish = jax.jit(lambda logits, hw: _finish(logits[None], hw)[0],
-                     static_argnums=(1,))
-    for logits in engine.stream(variables, images, group=group):
+    test_cfg = test_cfg or {}
+    min_hw = tuple(test_cfg.get("crop_size", (512, 512)))
+    valid_q = deque()
+
+    def padded():
+        for im in images:
+            p, valid_hw = _pad_to_min(im[None], min_hw,
+                                      multiple=pad_multiple)
+            valid_q.append(valid_hw)
+            yield p[0]
+
+    finish = jax.jit(
+        lambda logits, valid_hw, hw: _finish(
+            logits[:valid_hw[0], :valid_hw[1]][None], hw)[0],
+        static_argnums=(1, 2))
+    for logits in engine.stream(variables, padded(), group=group):
         hw = tuple(next(out_hw_iter)) if out_hw_iter is not None \
             else tuple(out_hw)
-        yield finish(logits, hw)
+        yield finish(logits, valid_q.popleft(), hw)
 
 
-def _pad_to_min(img: jax.Array, min_hw: Tuple[int, int]):
+def _pad_to_min(img: jax.Array, min_hw: Tuple[int, int],
+                multiple: Optional[int] = None):
     """Bottom-right zero-pad (mean color post-normalization — the same fill
     SegDataPreProcessor uses) for keep-ratio images smaller than the slide
     crop (Mapillary portrait frames at the 512 protocol scale to w<512;
     the torch reference just runs the smaller tensor, which static shapes
-    cannot). Returns (padded, valid_hw)."""
+    cannot). With `multiple` set, H and W additionally round UP to that
+    multiple — the eval shape-bucketing for Mapillary-style heterogeneity
+    (SURVEY §7.3): distinct keep-ratio sizes collapse onto a small grid of
+    compiled shapes instead of one retrace per size. Predictions are
+    cropped back to the valid region before the label-resolution resize,
+    so only slide windows straddling the pad boundary see fill pixels.
+    Returns (padded, valid_hw)."""
     h, w = int(img.shape[1]), int(img.shape[2])
-    ph, pw = max(min_hw[0] - h, 0), max(min_hw[1] - w, 0)
-    if ph or pw:
-        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    th, tw = max(min_hw[0], h), max(min_hw[1], w)
+    if multiple:
+        th = -(-th // multiple) * multiple
+        tw = -(-tw // multiple) * multiple
+    if th > h or tw > w:
+        img = jnp.pad(img, ((0, 0), (0, th - h), (0, tw - w), (0, 0)))
     return img, (h, w)
 
 
 def make_shape_aware_predict_fn(model, test_cfg: Dict, tta: bool = False,
-                                mesh=None):
+                                mesh=None, pad_multiple: Optional[int] = None):
     """predict(variables, img, out_hw) -> [B, out_h, out_w] int labels.
 
     Per-dataset keep-ratio eval (reference
@@ -199,7 +227,8 @@ def make_shape_aware_predict_fn(model, test_cfg: Dict, tta: bool = False,
     predictor splits the expensive inference graph (cached per input shape
     by jax.jit) from the cheap finalize resize+argmax (cached per
     (input, out_hw) pair), so heterogeneous eval sets never recompile the
-    ViT for a label-size change."""
+    ViT for a label-size change. pad_multiple: optional shape-bucketing
+    (see _pad_to_min) bounding the number of compiled inference graphs."""
     test_cfg = test_cfg or {}
     mode = test_cfg.get("mode", "whole")
     finalize = jax.jit(_finish, static_argnums=(1,))
@@ -219,7 +248,7 @@ def make_shape_aware_predict_fn(model, test_cfg: Dict, tta: bool = False,
         def predict(variables, img, out_hw):
             if rescope is not None:
                 variables = rescope(variables)
-            img, valid_hw = _pad_to_min(img, min_hw)
+            img, valid_hw = _pad_to_min(img, min_hw, multiple=pad_multiple)
             logits, _n = compact(variables, img)
             return finalize(_crop_valid(logits, valid_hw), tuple(out_hw))
 
@@ -244,7 +273,7 @@ def make_shape_aware_predict_fn(model, test_cfg: Dict, tta: bool = False,
     logits_jit = jax.jit(logits_fn)
 
     def predict(variables, img, out_hw):
-        img, valid_hw = _pad_to_min(img, min_hw)
+        img, valid_hw = _pad_to_min(img, min_hw, multiple=pad_multiple)
         logits = _crop_valid(logits_jit(variables, img), valid_hw)
         return finalize(logits, tuple(out_hw))
 
