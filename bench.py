@@ -216,11 +216,12 @@ def main():
                          "sanity runs); default dg_lora_dinov2_ms_masked, "
                          "or the reference UDA segformer config in "
                          "--mode uda")
-    # 128 images (16 stream groups) measures steady-state throughput: the
-    # ~80 ms pipeline fill/drain transient is ~7% of a 4-group run but <2%
-    # here, and real eval workloads (Cityscapes val = 500 images) run far
-    # past fill. Single-image modes (dense/train/uda) ignore group math.
-    ap.add_argument("--images", type=int, default=128)
+    # 256 images (32 stream groups) measures steady-state throughput: the
+    # pipeline fill/drain transient measured ~0.5% at this length (29.68
+    # at 128 -> 29.82 at 256 img/s, r5), and real eval workloads
+    # (Cityscapes val = 500 images) run far past fill. Single-image modes
+    # (dense/train/uda) ignore group math.
+    ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--unique-images", type=int, default=64,
                     help="distinct device-resident input buffers cycled "
                          "through the run (compute and gate statistics are "
@@ -265,6 +266,12 @@ def main():
     # tanh-GELU for production inference (documented ~1e-3 deviation from
     # the parity-exact erf GELU; ~1.4x faster MLPs on the VPU)
     os.environ.setdefault("VFMSEG_GELU_APPROX", "1")
+    # fused finish+next-stage1 stream dispatch (eval/compact.py): ONE jit
+    # per steady-state group; +0.5 img/s on the headline (29.17 -> 29.68,
+    # r5) — the win is XLA overlapping the blend (HBM-bound) with the next
+    # group's stage-1 matmuls inside one program, plus one less ~2 ms
+    # relay dispatch per group
+    os.environ.setdefault("VFMSEG_STREAM_FUSE", "1")
     dtype = jnp.bfloat16
     if args.config is None:
         args.config = ("uda_rein_dinov2_segformer_512x512"

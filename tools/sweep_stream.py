@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--depths", type=int, nargs="+", default=[2, 3, 4, 6])
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048))
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--forced-bucket", type=int, default=None,
+                    help="zero-sync mode: fixed refine bucket per group, "
+                         "no per-group gate readback (bounds the sync cost)")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16
@@ -76,7 +79,7 @@ def main():
     for group in args.groups:
         compact = CompactMsSlide(lr_fn, hr_fn, crop=crop, stride=stride,
                                  lr_size=lr_size, threshold=threshold,
-                                 conf=conf)
+                                 conf=conf, forced_bucket=args.forced_bucket)
         n_cal = min(len(images), -(-len(uniq) // group) * group)
         img_cals = [jnp.stack(images[i:i + group])
                     for i in range(0, n_cal, group)]
@@ -129,6 +132,7 @@ def main():
                 best = max(best, args.images / el)
             rate = 1.0 - compact.stat_refined / max(compact.stat_windows, 1)
             print(json.dumps({"group": group, "depth": depth,
+                              "forced_bucket": args.forced_bucket,
                               "images_per_sec": round(best, 3),
                               "skip_rate": round(rate, 3)}), flush=True)
 

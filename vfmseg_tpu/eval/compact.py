@@ -118,7 +118,16 @@ class CompactMsSlide:
                  threshold: float = 0.968, conf: float = 0.8,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  align_corners: bool = False,
-                 mesh=None):
+                 mesh=None, forced_bucket: int = None):
+        # forced_bucket (measurement/fixed-budget mode): every stream group
+        # refines exactly this bucket size, with the window set still
+        # chosen ON DEVICE from the confidences — the per-group host
+        # readback (the gate's only sync point) disappears entirely.
+        # Output equals the gated path whenever the true refine count
+        # <= forced_bucket; a group needing more refines only the first
+        # forced_bucket failing windows (ascending window id), so this is
+        # NOT the identical-to-dense contract — it bounds what the
+        # readback/sync costs in the stream.
         self.lr_fn = lr_logits_fn
         self.hr_fn = hr_logits_fn
         self.crop = crop
@@ -128,6 +137,7 @@ class CompactMsSlide:
         self.conf = conf
         self.buckets = buckets
         self.align_corners = align_corners
+        self.forced_bucket = forced_bucket
         # multi-chip: shard the window/crop batch over the mesh's data axis
         # (SURVEY §5.7 — crop batch is the natural eval-scaling axis). The
         # gate itself stays host-side; only the jitted phases shard.
@@ -450,6 +460,27 @@ class CompactMsSlide:
                                       split=True)
             for i in range(real):
                 yield logits[i]
+
+        if self.forced_bucket is not None:
+            # zero-sync mode: no per-group readback at all — one finish
+            # dispatch at the fixed bucket per group, stats read at the end
+            kf = self.forced_bucket
+            confs = []
+            for buf, real in chunks():
+                h, w = buf[0].shape[0], buf[0].shape[1]
+                img, full, confidence = self._stage1_tuple(
+                    variables, tuple(buf), (h, w))
+                confs.append((confidence, real))
+                logits = self._finish_fn(kf, (h, w), True)(
+                    variables, img, full, confidence, jnp.int32(real))
+                for i in range(real):
+                    yield logits[i]
+            for confidence, real in confs:
+                ch_ = np.asarray(confidence)
+                need = int(np.sum(ch_ < self.conf))
+                self.stat_windows += ch_.size
+                self.stat_refined += min(need, kf)
+            return
 
         for buf, real in chunks():
             h, w = buf[0].shape[0], buf[0].shape[1]
