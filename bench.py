@@ -230,10 +230,11 @@ def main():
                          "larger EVA02 peak)")
     ap.add_argument("--group", type=int, default=8,
                     help="stage-1 batch (compact mode)")
-    ap.add_argument("--depth", type=int, default=3,
+    ap.add_argument("--depth", type=int, default=2,
                     help="stream pipeline depth (groups in flight; each "
                          "holds a ~0.6 GB bf16 full-map buffer at bs8 "
-                         "1024x2048; 3 measured best on v5e)")
+                         "1024x2048; fused r5 sweep: depth 2 29.854 / "
+                         "3 29.821 / 4 29.798 img/s)")
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048),
                     help="benchmark image size (Cityscapes protocol)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
